@@ -1,0 +1,43 @@
+from .guidance import GUIDANCE_LOSSES, make_guidance_fn, target_guidance_loss
+from .sampler import SamplerConfig, make_sampler, sampler_from_cfg
+from .schedule import (
+    DiffusionSchedule,
+    add_noise,
+    compute_betas,
+    leading_timesteps,
+    make_schedule,
+    make_schedule_from_cfg,
+)
+from .steps import (
+    StepConfig,
+    ddim_step,
+    ddim_variance,
+    ddpm_step,
+    ddpm_variance,
+    dynamic_threshold,
+    inpaint_blend_ddim,
+    inpaint_blend_ddpm,
+)
+
+__all__ = [
+    "DiffusionSchedule",
+    "make_schedule",
+    "make_schedule_from_cfg",
+    "compute_betas",
+    "leading_timesteps",
+    "add_noise",
+    "StepConfig",
+    "ddpm_step",
+    "ddim_step",
+    "ddpm_variance",
+    "ddim_variance",
+    "dynamic_threshold",
+    "inpaint_blend_ddpm",
+    "inpaint_blend_ddim",
+    "target_guidance_loss",
+    "make_guidance_fn",
+    "GUIDANCE_LOSSES",
+    "SamplerConfig",
+    "make_sampler",
+    "sampler_from_cfg",
+]

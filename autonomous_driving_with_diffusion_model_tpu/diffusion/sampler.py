@@ -1,0 +1,220 @@
+"""Fused trajectory samplers: the whole denoising loop as one ``lax.scan``.
+
+This replaces the reference's per-step Python loop over scheduler objects
+(reference: interact.py:115-168, e2e_driving/diffusion_agent.py:179-232,
+train.py:53-103) with a single jitted XLA program per guidance mode:
+
+* the perception encoder runs ONCE per plan (the reference re-runs ResNet-34
+  every denoise step on the same image, temporal.py:203 — numerically
+  identical for eval-mode BN, and the dominant latency win);
+* all ``guidance`` / scheduler branches are Python-static;
+* DDPM step noise is pre-generated outside the scan so reference-generated
+  randoms can be injected for parity testing;
+* the per-step anchor zeroing (trajs[:, 0, :3] = 0, interact.py:129/164) and
+  the final clamp + meters scaling (interact.py:166-167) are fused in.
+
+Set ``hoist_perception=False`` for a strict-reference execution mode that
+re-encodes the image inside every scan step (parity audits).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.temporal_unet import TemporalMapUnet
+from ..utils.constants import ANCHOR_DIMS, MAGIC_NUM, GuidanceType
+from .guidance import make_guidance_fn
+from .schedule import DiffusionSchedule, leading_timesteps
+from .steps import StepConfig, ddim_step, ddim_variance, ddpm_step, ddpm_variance
+
+__all__ = ["SamplerConfig", "make_sampler", "sampler_from_cfg"]
+
+
+class SamplerConfig(NamedTuple):
+    guidance: GuidanceType = GuidanceType.NO_GUIDANCE
+    scheduler: str = "ddim"  # "ddim" | "ddpm"
+    num_steps: int = 100
+    step: StepConfig = StepConfig()
+    free_scale: float = 1.0
+    classifier_scale: float = 0.1
+    guidance_step: int = 1
+    loss_list: Optional[Sequence] = None
+    hoist_perception: bool = True
+    scale_to_meters: bool = True
+
+
+def _anchor(trajs: jax.Array) -> jax.Array:
+    """Zero the first waypoint's (x, y, yaw) (reference: interact.py:129,164)."""
+    return trajs.at[:, 0, :ANCHOR_DIMS].set(0.0)
+
+
+def make_sampler(
+    model: TemporalMapUnet, schedule: DiffusionSchedule, cfg: SamplerConfig
+) -> Callable:
+    """Build the fused sampling function for one configuration.
+
+    Returns ``sample(variables, init_trajs, image=None, img_feature=None,
+    target=None, rng=None, noise_seq=None) -> trajs``:
+
+    * ``init_trajs``  (B, H, D) starting noise (the reference reuses one fixed
+      tensor across plans, interact.py:100/117 — callers decide).
+    * ``image``       (B, h, w, 3) normalized NHWC camera image, or
+      ``img_feature`` (B, dim) precomputed.
+    * ``target``      (B, 2) ego-frame target point (FREE/CLASSIFIER only).
+    * ``rng``/``noise_seq`` — DDPM step noise; ``noise_seq`` (S, B, H, D)
+      overrides rng-generated noise for parity injection.
+    """
+    ts_np, prev_np = leading_timesteps(schedule.num_train_timesteps, cfg.num_steps)
+    ts = jnp.asarray(ts_np, jnp.int32)
+    prev_ts = jnp.asarray(prev_np, jnp.int32)
+    use_ddpm = cfg.scheduler == "ddpm"
+    step_fn = ddpm_step if use_ddpm else ddim_step
+    var_fn = ddpm_variance if use_ddpm else ddim_variance
+
+    def sample(
+        variables,
+        init_trajs: jax.Array,
+        image: Optional[jax.Array] = None,
+        img_feature: Optional[jax.Array] = None,
+        target: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        noise_seq: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        B = init_trajs.shape[0]
+        trajs = _anchor(init_trajs)
+
+        if img_feature is None and cfg.hoist_perception:
+            img_feature = model.apply(
+                variables, image, train=False, method=TemporalMapUnet.encode_image
+            )
+
+        needs_noise = use_ddpm or cfg.step.eta > 0
+        if needs_noise and noise_seq is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            noise_seq = jax.random.normal(
+                rng, (cfg.num_steps,) + trajs.shape, dtype=trajs.dtype
+            )
+
+        cfg_target = None
+        if cfg.guidance == GuidanceType.FREE_GUIDANCE and target is not None:
+            # dual batch: [target; zeros] (reference: interact.py:119-127)
+            cfg_target = jnp.concatenate([target, jnp.zeros_like(target)], axis=0)
+
+        def model_fwd(trajs, t):
+            t_b = jnp.full((B,), t, jnp.float32)
+            if cfg.guidance == GuidanceType.FREE_GUIDANCE and cfg_target is not None:
+                x2 = jnp.concatenate([trajs, trajs], axis=0)
+                if cfg.hoist_perception:
+                    out = model.apply(
+                        variables, x2, time=t_b, cond=cfg_target, img_feature=img_feature
+                    )
+                else:
+                    out = model.apply(variables, x2, img=image, time=t_b, cond=cfg_target)
+                out_cond, out_uncond = jnp.split(out, 2, axis=0)
+                return out_uncond + cfg.free_scale * (out_cond - out_uncond), None
+            if cfg.guidance == GuidanceType.CLASSIFIER_GUIDANCE:
+                if cfg.hoist_perception:
+                    action, time_embed = model.apply(
+                        variables,
+                        trajs,
+                        time=t_b,
+                        img_feature=img_feature,
+                        return_action_and_time_only=True,
+                    )
+                else:
+                    action, time_embed = model.apply(
+                        variables, trajs, img=image, time=t_b, return_action_and_time_only=True
+                    )
+                state = model.apply(
+                    variables, action, time_embed, method=TemporalMapUnet.predict_state
+                )
+                return jnp.concatenate([state, action], axis=-1), (action, time_embed)
+            if cfg.hoist_perception:
+                return model.apply(variables, trajs, time=t_b, img_feature=img_feature), None
+            return model.apply(variables, trajs, img=image, time=t_b), None
+
+        def body(trajs, xs):
+            if needs_noise:
+                t, prev_t, noise = xs
+            else:
+                t, prev_t = xs
+                noise = None
+            model_output, aux = model_fwd(trajs, t)
+
+            if cfg.guidance == GuidanceType.CLASSIFIER_GUIDANCE and target is not None:
+                action, time_embed = aux
+                variance = var_fn(schedule, t, prev_t)
+                grad_scale = jnp.exp(0.5 * variance)
+
+                def state_pred_fn(a):
+                    return model.apply(
+                        variables, a, time_embed, method=TemporalMapUnet.predict_state
+                    )
+
+                guide_fn = make_guidance_fn(
+                    cfg.loss_list, cfg.classifier_scale, cfg.guidance_step, state_pred_fn
+                )
+                model_output = guide_fn(model_output, action, target, grad_scale)
+
+            trajs, _ = step_fn(schedule, cfg.step, model_output, t, prev_t, trajs, noise)
+            return _anchor(trajs), None
+
+        xs = (ts, prev_ts, noise_seq) if needs_noise else (ts, prev_ts)
+        trajs, _ = jax.lax.scan(body, trajs, xs)
+
+        trajs = jnp.clip(trajs.astype(jnp.float32), -1.0, 1.0)
+        if cfg.scale_to_meters:
+            trajs = trajs.at[..., :2].multiply(MAGIC_NUM)
+        return trajs
+
+    return sample
+
+
+def sampler_from_cfg(model, schedule, cfg, *, for_training_eval: bool = False) -> Callable:
+    """Build the sampler matching a framework config.
+
+    ``for_training_eval=True`` reproduces ``train.evaluate`` (train.py:53-103):
+    training DDPM scheduler (clip_sample, no thresholding), TRAIN.TIME_STEPS
+    steps, no conditioning, and no meters scaling. Otherwise mirrors the
+    closed-loop agents' scheduler construction (interact.py:81-94:
+    thresholding=True, EVAL.SCHEDULER, EVAL.SAMPLE_STEPS).
+    """
+    from .guidance import GUIDANCE_LOSSES  # noqa: F401  (registry import side)
+
+    if for_training_eval:
+        scfg = SamplerConfig(
+            guidance=GuidanceType.NO_GUIDANCE,
+            scheduler="ddpm",
+            num_steps=cfg.TRAIN.TIME_STEPS,
+            step=StepConfig(
+                prediction_type=cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE,
+                clip_sample=True,
+                thresholding=False,
+            ),
+            hoist_perception=bool(cfg.TPU.HOIST_PERCEPTION),
+            scale_to_meters=False,
+        )
+    else:
+        scfg = SamplerConfig(
+            guidance=GuidanceType[cfg.GUIDANCE.USE_COND],
+            scheduler=cfg.EVAL.SCHEDULER,
+            num_steps=cfg.EVAL.SAMPLE_STEPS,
+            step=StepConfig(
+                prediction_type=cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE,
+                clip_sample=True,
+                thresholding=True,
+            ),
+            free_scale=cfg.GUIDANCE.FREE_SCALE,
+            classifier_scale=cfg.GUIDANCE.CLASSIFIER_SCALE,
+            guidance_step=cfg.GUIDANCE.STEP,
+            loss_list=cfg.GUIDANCE.LOSS_LIST,
+            hoist_perception=bool(cfg.TPU.HOIST_PERCEPTION),
+            scale_to_meters=True,
+        )
+    return make_sampler(model, schedule, scfg)

@@ -1,0 +1,39 @@
+from .blocks import (
+    Conv1dBlock,
+    Downsample1d,
+    LinearAttention,
+    ResidualTemporalMapBlock,
+    TrajPredict,
+    Upsample1d,
+)
+from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101, resnet152
+from .temporal_unet import TemporalMapUnet, build_model
+from .torch_convert import (
+    apply_ema_shadow_params,
+    build_mapping,
+    load_torch_checkpoint,
+    torch_state_dict_to_variables,
+    variables_to_torch_state_dict,
+)
+
+__all__ = [
+    "Conv1dBlock",
+    "Downsample1d",
+    "LinearAttention",
+    "ResidualTemporalMapBlock",
+    "TrajPredict",
+    "Upsample1d",
+    "ResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "resnet101",
+    "resnet152",
+    "TemporalMapUnet",
+    "build_model",
+    "build_mapping",
+    "torch_state_dict_to_variables",
+    "variables_to_torch_state_dict",
+    "apply_ema_shadow_params",
+    "load_torch_checkpoint",
+]
