@@ -1,0 +1,154 @@
+"""Host-side trajectory dataset + threaded prefetching loader.
+
+Reproduces the reference dataset contract (reference: dataset/carla_dataset.py:11-58):
+
+* ``{root}/front/*.png`` sorted glob — 900x256 RGB front-camera frames;
+* ``{root}/waypoints/{idx:06d}.txt`` — line 0: 2-d target point; lines 1..16:
+  7-d transitions, clipped to [-1, 1], exactly 16 rows.
+
+TPU-native split of responsibilities: host threads only decode PNGs and parse
+text (returning uint8 images); augmentation + ImageNet normalization run
+on-device as a fused jitted kernel (``data.augment``), unlike the reference's
+per-worker imgaug + torchvision CPU pipeline.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["TrajDataset", "Loader", "get_loader"]
+
+
+class TrajDataset:
+    def __init__(self, root_path: str):
+        self.root_path = root_path
+        self.front_image = sorted(glob.glob(osp.join(root_path, "front", "*.png")))
+        if not self.front_image:
+            raise FileNotFoundError(f"No front images under {root_path}/front")
+
+    def __len__(self) -> int:
+        return len(self.front_image)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        img = cv2.cvtColor(cv2.imread(self.front_image[idx]), cv2.COLOR_BGR2RGB)
+        waypoint_name = osp.join(self.root_path, "waypoints", f"{idx:06d}.txt")
+        with open(waypoint_name, "r") as f:
+            lines = [ln.strip() for ln in f.readlines()]
+        target = np.asarray([float(v) for v in lines[0].split()], np.float32)
+        rows = [
+            [float(v) for v in ln.split()] for ln in lines[1:] if len(ln) != 0
+        ]
+        trajs = np.clip(np.asarray(rows, np.float32), -1.0, 1.0)
+        assert len(trajs) == 16, f"waypoint file {waypoint_name} has {len(trajs)} rows"
+        return {"image": img.astype(np.uint8), "trajs": trajs, "target": target}
+
+
+class Loader:
+    """Shuffling, drop-last, threaded-prefetch batch iterator.
+
+    Yields dicts of stacked numpy arrays {image (B,H,W,3) u8, trajs (B,16,7),
+    target (B,2)}. ``num_workers`` decode threads feed a bounded queue (cv2
+    releases the GIL during imdecode, so threads parallelize fine and avoid
+    the reference's worker-process serialization overhead).
+    """
+
+    def __init__(
+        self,
+        dataset: TrajDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices()
+        self._epoch += 1
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)
+        ]
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        job_q: "queue.Queue" = queue.Queue()
+        results = {}
+        lock = threading.Lock()
+
+        for bi, b in enumerate(batches):
+            job_q.put((bi, b))
+
+        def worker():
+            while True:
+                try:
+                    bi, batch_idx = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self.dataset[int(i)] for i in batch_idx]
+                batch = {
+                    k: np.stack([it[k] for it in items]) for k in ("image", "trajs", "target")
+                }
+                with lock:
+                    results[bi] = batch
+                out_q.put(bi)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        next_emit = 0
+        ready = set()
+        emitted = 0
+        while emitted < n_batches:
+            bi = out_q.get()
+            ready.add(bi)
+            while next_emit in ready:
+                with lock:
+                    batch = results.pop(next_emit)
+                ready.discard(next_emit)
+                next_emit += 1
+                emitted += 1
+                yield batch
+
+
+def get_loader(cfg, train: bool = True, seed: int = 0) -> Loader:
+    """Reference get_loader equivalent (dataset/carla_dataset.py:45-58);
+    augmentation happens on-device, so the loader only decodes."""
+    dataset = TrajDataset(cfg.TRAIN.ROOT)
+    return Loader(
+        dataset,
+        batch_size=cfg.TRAIN.BATCH_SIZE,
+        shuffle=train,
+        drop_last=True,
+        num_workers=cfg.TRAIN.NUM_WORKERS,
+        seed=seed,
+    )

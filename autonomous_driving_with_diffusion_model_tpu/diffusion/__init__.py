@@ -19,7 +19,14 @@ from .steps import (
     inpaint_blend_ddpm,
 )
 
+# scheduler registry (reference: scheduler/__init__.py + the SCHEDULER_FUNC
+# maps at interact.py:22-25 / diffusion_agent.py:29-32)
+SCHEDULER_FUNC = {"ddpm": ddpm_step, "ddim": ddim_step}
+INPAINTING_SCHEDULER_FUNC = {"ddpm": inpaint_blend_ddpm, "ddim": inpaint_blend_ddim}
+
 __all__ = [
+    "SCHEDULER_FUNC",
+    "INPAINTING_SCHEDULER_FUNC",
     "DiffusionSchedule",
     "make_schedule",
     "make_schedule_from_cfg",

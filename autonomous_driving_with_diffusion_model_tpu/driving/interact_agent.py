@@ -1,0 +1,110 @@
+"""Interactive closed-loop agent (reference: interact.py:54-321).
+
+Env-injected re-design: the reference hard-wires server spawn + the roach gym
+env into ``Agent.__init__``; here any object with ``reset() -> obs`` /
+``step({0: control}) -> (obs, ...)`` works — the live CARLA env (sim layer),
+the synthetic ``FakeDrivingEnv``, or a replay. The planning core is
+``DiffusionPlanner`` (one fused jitted program per session).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..utils.constants import GuidanceType
+from .controller import Controller
+from .plan import DiffusionPlanner, process_next_waypoint, way_point_to_pixel
+
+__all__ = ["InteractAgent"]
+
+
+class InteractAgent:
+    def __init__(
+        self,
+        cfg,
+        env,
+        planner: Optional[DiffusionPlanner] = None,
+        bev_save_path: Optional[str] = None,
+        on_frame: Optional[Callable] = None,
+    ):
+        self.cfg = cfg
+        self.env = env
+        self.planner = planner or DiffusionPlanner(cfg)
+        self.controller = Controller(cfg)
+        self.use_guidance_type = GuidanceType[cfg.GUIDANCE.USE_COND]
+        self.bev_save_path = bev_save_path
+        self.on_frame = on_frame
+        if bev_save_path:
+            import os
+
+            os.makedirs(bev_save_path, exist_ok=True)
+        self._count = 0
+
+    # ------------------------------------------------------------------ step
+
+    def compute_control(self, state) -> np.ndarray:
+        """One closed-loop decision (reference: interact.py:279-307)."""
+        target_point = None
+        if self.use_guidance_type != GuidanceType.NO_GUIDANCE:
+            target_point = process_next_waypoint(
+                next_point=np.asarray(state["next_waypoint"]),
+                cur_point=np.asarray(state["cur_waypoint"])[0],
+                yaw=float(np.asarray(state["compass"][0]).reshape(-1)[0]),
+            )[0]
+
+        rgb = np.asarray(state["camera"][0], np.uint8)
+        traj = self.planner.plan(rgb, target_point)
+
+        if self.bev_save_path is not None:
+            self._save_bev(np.asarray(state["bev"][0]), traj[0, :, :2])
+
+        if traj.shape[-1] > 2:
+            control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
+        else:
+            # 2-d waypoint model: PID path (interact.py:298-307)
+            gt_velocity = float(np.asarray(state["state"][0][1]))
+            tp = (
+                target_point
+                if self.use_guidance_type != GuidanceType.NO_GUIDANCE
+                else traj[0, 4, :2]
+            )
+            renew_traj = np.stack([-traj[0, :4, 0], traj[0, :4, 1]], axis=-1)
+            renew_target = np.stack([-tp[0], tp[1]], axis=-1)
+            throttle, steer, brake = self.controller.control_pid(
+                renew_traj, gt_velocity, renew_target
+            )
+            control = DiffusionPlanner.post_process_control_interact(throttle, steer, brake)
+        if self.on_frame is not None:
+            self.on_frame(state, traj, control)
+        return control
+
+    def _save_bev(self, bev_image, traj_xy_meters):
+        import cv2
+
+        img = bev_image.copy()
+        for x, y in traj_xy_meters:
+            px = way_point_to_pixel(float(x), self.planner.magic_num)
+            py = way_point_to_pixel(float(y), self.planner.magic_num)
+            img = cv2.circle(img, (px, py), 3, (0, 0, 255), -1)
+        cv2.imwrite(
+            f"{self.bev_save_path}/{self._count:06d}.jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        )
+        self._count += 1
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, max_steps: Optional[int] = None) -> int:
+        """Closed loop until done/max_steps (the reference loops forever,
+        interact.py:276-316 — its ``done`` is never set; SURVEY Appendix C.6)."""
+        state = self.env.reset()
+        steps = 0
+        while True:
+            control = self.compute_control(state)
+            result = self.env.step({0: control})
+            state = result[0]
+            done = bool(result[2]) if len(result) > 2 else False
+            steps += 1
+            if done or (max_steps is not None and steps >= max_steps):
+                return steps

@@ -1,0 +1,159 @@
+"""DiffusionPlanner: the jitted closed-loop planning engine.
+
+The shared core of both closed-loop agents (reference: interact.py:54-168 and
+e2e_driving/diffusion_agent.py:45-232): loads a checkpoint (torch ``.pth``
+with EMA-shadow overwrite, or Orbax), builds the fused sampler for the
+configured guidance mode, keeps the fixed per-session init noise
+(interact.py:100), and exposes ``plan(rgb_u8, target) -> traj`` plus the
+ego-frame coordinate transforms and control post-processing helpers.
+
+TPU-native behaviors: image normalization happens on device inside the jitted
+plan function (fused with the encoder); the sampler is compiled once at
+construction so closed-loop steps never retrace.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..utils.constants import MAGIC_NUM, GuidanceType
+
+__all__ = ["DiffusionPlanner", "process_next_waypoint", "way_point_to_pixel"]
+
+
+def way_point_to_pixel(waypoint: float, magic_num: float = 1.0) -> int:
+    """Waypoint -> BEV pixel: 256 - 256*w/magic (reference: train.py:48-50 for
+    normalized w with magic_num=1; diffusion_agent.py:35-37 for meters)."""
+    return int(256 - waypoint / magic_num * 256)
+
+
+def process_next_waypoint(next_point, cur_point, yaw):
+    """World -> ego-frame target point (reference: interact.py:185-202,
+    diffusion_agent.py:253-264): rotate by theta = yaw + pi/2, then
+    [local_y, -local_x] / magic_num."""
+    if math.isnan(yaw):
+        yaw = 0.0
+    theta = yaw + math.pi / 2.0
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    local = np.asarray(next_point, np.float64) - np.asarray(cur_point, np.float64)
+    local = R.T.dot(local.reshape(-1, 2).T).T
+    target = np.stack([local[:, 1], -local[:, 0]], axis=-1) / MAGIC_NUM
+    return target.astype(np.float32)
+
+
+class DiffusionPlanner:
+    """Checkpoint-backed planner with a pre-compiled sampling function."""
+
+    magic_num = MAGIC_NUM
+
+    def __init__(self, cfg, checkpoint: Optional[str] = None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.augment import normalize_images
+        from ..diffusion import make_schedule_from_cfg, sampler_from_cfg
+        from ..models import build_model, load_torch_checkpoint
+
+        self.cfg = cfg
+        self.use_guidance_type = GuidanceType[cfg.GUIDANCE.USE_COND]
+        self.model = build_model(cfg)
+        self._jax = jax
+
+        ckpt_path = checkpoint or cfg.EVAL.CHECKPOINT
+        if ckpt_path:
+            if str(ckpt_path).endswith(".pth"):
+                # state_dict + EMA shadow overwrite (interact.py:102-108)
+                self.variables = load_torch_checkpoint(ckpt_path, cfg, use_ema=True)
+            else:
+                from ..train import restore_orbax  # orbax TrainState dir
+
+                raise NotImplementedError(
+                    "Orbax eval loading: use train.restore_orbax + EMA copy; "
+                    "pass a .pth for the reference path"
+                )
+            self.variables = jax.tree.map(jnp.asarray, self.variables)
+        else:
+            rng = np.random.default_rng(seed)
+            x = jnp.asarray(rng.standard_normal((1, 16, cfg.MODEL.TRANSITION_DIM)), jnp.float32)
+            img = jnp.asarray(
+                rng.standard_normal((1, cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH, 3)),
+                jnp.float32,
+            )
+            self.variables = self.model.init(
+                jax.random.PRNGKey(seed), x, img=img, time=jnp.asarray([1.0])
+            )
+
+        schedule = make_schedule_from_cfg(cfg)
+        sampler = sampler_from_cfg(self.model, schedule, cfg)
+
+        # fixed init noise across plans (interact.py:100, diffusion_agent.py:94)
+        key = jax.random.PRNGKey(seed)
+        traj_shape = (1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)
+        self.init_trajs = jax.random.normal(key, traj_shape, jnp.float32)
+        self._fixed_noise = bool(cfg.TPU.FIXED_INIT_NOISE)
+        self._noise_key = jax.random.fold_in(key, 1)
+
+        needs_target = self.use_guidance_type != GuidanceType.NO_GUIDANCE
+
+        def _plan(variables, init_trajs, rgb_u8, target, rng):
+            image = normalize_images(rgb_u8)[None]  # (1, H, W, 3), fused on device
+            return sampler(
+                variables,
+                init_trajs,
+                image=image,
+                target=target if needs_target else None,
+                rng=rng,
+            )
+
+        self._plan = jax.jit(_plan)
+
+    def plan(self, rgb_u8: np.ndarray, target: Optional[np.ndarray] = None) -> np.ndarray:
+        """rgb_u8: (H, W, 3) uint8 RGB frame; target: (2,) or (1, 2) ego-frame
+        normalized target point. Returns (1, horizon, 7) numpy trajectory with
+        xy in meters (clamped + magic-scaled, interact.py:166-167)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._fixed_noise:
+            init = self.init_trajs
+            rng = self._noise_key
+        else:
+            self._noise_key, sub = jax.random.split(self._noise_key)
+            init = jax.random.normal(sub, self.init_trajs.shape, jnp.float32)
+            rng = sub
+        tgt = None
+        if target is not None:
+            tgt = jnp.asarray(np.asarray(target, np.float32).reshape(1, 2))
+        else:
+            tgt = jnp.zeros((1, 2), jnp.float32)
+        out = self._plan(self.variables, init, jnp.asarray(rgb_u8), tgt, rng)
+        return np.asarray(out)
+
+    # ---------------------------------------------------------------- control
+
+    @staticmethod
+    def post_process_control_interact(throttle_res, steer_res, brake_res):
+        """reference: interact.py:218-229 (zeroes steer on hard brake)."""
+        if brake_res < 0.05:
+            brake_res = 0.0
+        if throttle_res > brake_res:
+            brake_res = 0.0
+        if brake_res > 0.5:
+            brake_res = 1.0
+            steer_res = 0.0
+            throttle_res = 0.0
+        return np.array([throttle_res, steer_res, brake_res])
+
+    @staticmethod
+    def post_process_control_leaderboard(throttle_res, steer_res, brake_res):
+        """reference: diffusion_agent.py:270-278 (keeps steer and brake value)."""
+        if brake_res < 0.05:
+            brake_res = 0.0
+        if throttle_res > brake_res:
+            brake_res = 0.0
+        if brake_res > 0.5:
+            throttle_res = 0.0
+        return throttle_res, steer_res, brake_res

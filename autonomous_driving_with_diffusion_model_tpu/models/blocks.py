@@ -81,24 +81,34 @@ class Dense(nn.Module):
 
 
 class Conv1dBlock(nn.Module):
-    """Conv1d(k, pad=k//2) -> GroupNorm(8) -> Mish (reference: helpers.py:95-112)."""
+    """Conv1d(k, pad=k//2) -> GroupNorm(8) -> Mish (reference: helpers.py:95-112).
+
+    With ``use_pallas`` the whole block runs as one fused Pallas TPU kernel
+    (ops.pallas_kernels.fused_conv1d_gn_mish); otherwise the XLA composite.
+    Both paths share the same parameters and match to float tolerance.
+    """
 
     features: int
     kernel_size: int = 5
     n_groups: int = 8
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = Conv1d(
-            self.features,
-            self.kernel_size,
-            padding=self.kernel_size // 2,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        cin = x.shape[-1]
+        init_w, init_b = _torch_conv_init(self.kernel_size, cin)
+        w = self.param("weight", init_w, (self.kernel_size, cin, self.features))
+        b = self.param("bias", init_b, (self.features,))
         gamma = self.param("norm_weight", nn.initializers.ones, (self.features,))
         beta = self.param("norm_bias", nn.initializers.zeros, (self.features,))
+        if self.use_pallas:
+            from ..ops.pallas_kernels import fused_conv1d_gn_mish
+
+            return fused_conv1d_gn_mish(
+                x.astype(self.dtype), w, b, gamma, beta, n_groups=self.n_groups
+            )
+        x = conv1d(x.astype(self.dtype), w, b, padding=self.kernel_size // 2)
         x = group_norm(x, gamma, beta, self.n_groups)
         return mish(x)
 
@@ -174,14 +184,21 @@ class ResidualTemporalMapBlock(nn.Module):
     features: int
     kernel_size: int = 5
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, t):
         cin = x.shape[-1]
-        out = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype, name="block1")(x)
+        out = Conv1dBlock(
+            self.features, self.kernel_size, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="block1",
+        )(x)
         t_bias = Dense(self.features, dtype=self.dtype, name="time_mlp")(mish(t))
         out = out + t_bias[:, None, :]
-        out = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype, name="block2")(out)
+        out = Conv1dBlock(
+            self.features, self.kernel_size, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="block2",
+        )(out)
         if cin != self.features:
             res = Conv1d(self.features, 1, dtype=self.dtype, name="residual_conv")(x)
         else:

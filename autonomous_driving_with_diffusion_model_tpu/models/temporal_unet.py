@@ -40,9 +40,36 @@ from .blocks import (
     TrajPredict,
     Upsample1d,
 )
-from .resnet import resnet34
+from .resnet import resnet18, resnet34, resnet50, resnet101
 
 Dtype = Any
+
+
+class TinyEncoder(nn.Module):
+    """Minimal conv encoder for tests/experiments (not in the reference)."""
+
+    num_classes: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .resnet import Conv2d
+
+        x = jax.nn.relu(Conv2d(16, 5, 4, 2, dtype=self.dtype, name="conv1")(x))
+        x = jax.nn.relu(Conv2d(32, 3, 2, 1, dtype=self.dtype, name="conv2")(x))
+        x = jnp.mean(x, axis=(1, 2))
+        from .blocks import Dense
+
+        return Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
+PERCEPTION_BUILDERS = {
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "tiny": lambda num_classes, dtype: TinyEncoder(num_classes=num_classes, dtype=dtype),
+}
 
 
 class TemporalMapUnet(nn.Module):
@@ -52,6 +79,8 @@ class TemporalMapUnet(nn.Module):
     dim: int = 64
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     use_cond: GuidanceType = GuidanceType.NO_GUIDANCE
+    perception_name: str = "resnet34"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     magic_num = MAGIC_NUM
@@ -62,7 +91,9 @@ class TemporalMapUnet(nn.Module):
         self._in_out = in_out
         time_dim = self.dim
 
-        self.perception = resnet34(num_classes=time_dim, dtype=self.dtype)
+        self.perception = PERCEPTION_BUILDERS[self.perception_name](
+            num_classes=time_dim, dtype=self.dtype
+        )
         self.time_mlp = TimeMLP(time_dim, dtype=self.dtype)
         if self.use_cond == GuidanceType.FREE_GUIDANCE:
             self.cond_mlp = CondMLP(time_dim, dtype=self.dtype)
@@ -74,8 +105,8 @@ class TemporalMapUnet(nn.Module):
             is_last = ind >= n_res - 1
             downs.append(
                 (
-                    ResidualTemporalMapBlock(dim_out, dtype=self.dtype, name=f"down{ind}_res1"),
-                    ResidualTemporalMapBlock(dim_out, dtype=self.dtype, name=f"down{ind}_res2"),
+                    ResidualTemporalMapBlock(dim_out, dtype=self.dtype, use_pallas=self.use_pallas, name=f"down{ind}_res1"),
+                    ResidualTemporalMapBlock(dim_out, dtype=self.dtype, use_pallas=self.use_pallas, name=f"down{ind}_res2"),
                     (
                         PreNormAttention(dim_out, dtype=self.dtype, name=f"down{ind}_attn")
                         if self.attention
@@ -93,11 +124,11 @@ class TemporalMapUnet(nn.Module):
         self.downs = downs
 
         mid_dim = dims[-1]
-        self.mid_block1 = ResidualTemporalMapBlock(mid_dim, dtype=self.dtype, name="mid_block1")
+        self.mid_block1 = ResidualTemporalMapBlock(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas, name="mid_block1")
         self.mid_attn = (
             PreNormAttention(mid_dim, dtype=self.dtype, name="mid_attn") if self.attention else None
         )
-        self.mid_block2 = ResidualTemporalMapBlock(mid_dim, dtype=self.dtype, name="mid_block2")
+        self.mid_block2 = ResidualTemporalMapBlock(mid_dim, dtype=self.dtype, use_pallas=self.use_pallas, name="mid_block2")
 
         ups = []
         final_up_dim = None
@@ -105,8 +136,8 @@ class TemporalMapUnet(nn.Module):
             is_last = ind >= n_res - 1
             ups.append(
                 (
-                    ResidualTemporalMapBlock(dim_in, dtype=self.dtype, name=f"up{ind}_res1"),
-                    ResidualTemporalMapBlock(dim_in, dtype=self.dtype, name=f"up{ind}_res2"),
+                    ResidualTemporalMapBlock(dim_in, dtype=self.dtype, use_pallas=self.use_pallas, name=f"up{ind}_res1"),
+                    ResidualTemporalMapBlock(dim_in, dtype=self.dtype, use_pallas=self.use_pallas, name=f"up{ind}_res2"),
                     (
                         # NOTE: the reference builds this with dim_out
                         # (temporal.py:168) but feeds it a dim_in tensor, which
@@ -130,7 +161,7 @@ class TemporalMapUnet(nn.Module):
         self._final_horizon = horizon
 
         if self.use_cond == GuidanceType.CLASSIFIER_GUIDANCE:
-            self.act_block = Conv1dBlock(final_up_dim, 5, dtype=self.dtype, name="act_block")
+            self.act_block = Conv1dBlock(final_up_dim, 5, dtype=self.dtype, use_pallas=self.use_pallas, name="act_block")
             self.act_head = Conv1d(3, 1, dtype=self.dtype, name="act_head")
             self.state_pred = TrajPredict(
                 in_dim=3,
@@ -142,7 +173,7 @@ class TemporalMapUnet(nn.Module):
                 name="state_pred",
             )
         else:
-            self.final_block = Conv1dBlock(final_up_dim, 5, dtype=self.dtype, name="final_block")
+            self.final_block = Conv1dBlock(final_up_dim, 5, dtype=self.dtype, use_pallas=self.use_pallas, name="final_block")
             self.final_head = Conv1d(self.transition_dim, 1, dtype=self.dtype, name="final_head")
 
     def encode_image(self, img: jax.Array, train: bool = False) -> jax.Array:
@@ -240,5 +271,7 @@ def build_model(cfg, dtype=None) -> TemporalMapUnet:
         dim=cfg.MODEL.DIM,
         dim_mults=tuple(cfg.MODEL.DIM_MULTS),
         use_cond=GuidanceType[cfg.TRAIN.USE_COND],
+        perception_name=cfg.MODEL.get("PERCEPTION", "resnet34"),
+        use_pallas=bool(cfg.TPU.get("USE_PALLAS_CONV", False)),
         dtype=dtype,
     )

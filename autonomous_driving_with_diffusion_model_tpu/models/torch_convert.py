@@ -78,8 +78,9 @@ def _norm(tk: str, fp: Tuple[str, ...]) -> List[Entry]:
 
 
 def _conv1d_block(tk: str, fp: Tuple[str, ...]) -> List[Entry]:
-    """torch Conv1dBlock: .block.0 conv, .block.2 groupnorm (helpers.py:95-112)."""
-    return _conv1d(f"{tk}.block.0", fp + ("conv",)) + [
+    """torch Conv1dBlock: .block.0 conv, .block.2 groupnorm (helpers.py:95-112).
+    Flax side keeps the conv + norm params flat (fusable as one kernel)."""
+    return _conv1d(f"{tk}.block.0", fp) + [
         (f"{tk}.block.2.weight", fp + ("norm_weight",), T_NONE),
         (f"{tk}.block.2.bias", fp + ("norm_bias",), T_NONE),
     ]
@@ -167,6 +168,12 @@ def build_mapping(cfg) -> Tuple[List[Entry], List[Entry]]:
     torch ``named_parameters()`` registration order described in the module
     docstring, so EMA ``shadow_params`` lists zip against it directly.
     """
+    perception = cfg.MODEL.get("PERCEPTION", "resnet34") if hasattr(cfg.MODEL, "get") else "resnet34"
+    if perception != "resnet34":
+        raise ValueError(
+            f"torch checkpoint conversion requires MODEL.PERCEPTION=resnet34 "
+            f"(the reference's encoder), got {perception}"
+        )
     use_cond = GuidanceType[cfg.TRAIN.USE_COND]
     attention = cfg.MODEL.USE_ATTN
     dim = cfg.MODEL.DIM

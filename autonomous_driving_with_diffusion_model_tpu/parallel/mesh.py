@@ -1,0 +1,46 @@
+"""Device mesh and sharding utilities.
+
+The reference scales with NCCL data-parallel DDP via HF accelerate
+(reference: train.py:114-125,176-178). The TPU-native equivalent is SPMD over
+a ``jax.sharding.Mesh``: batches sharded over the ``data`` axis, parameters
+replicated, with XLA inserting the gradient all-reduce over ICI. Multi-host
+(multi-slice over DCN) uses the same program under ``jax.distributed``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "is_main_process"]
+
+
+def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices (-1 = all)."""
+    devices = jax.devices()
+    if num_devices is None or num_devices < 0:
+        num_devices = len(devices)
+    return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put every array in the pytree with its batch dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def is_main_process() -> bool:
+    """Host-0 guard for side effects (replaces accelerate ``is_main_process``)."""
+    return jax.process_index() == 0

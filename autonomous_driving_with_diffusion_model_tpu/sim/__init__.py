@@ -1,0 +1,28 @@
+"""Simulator-side glue (host-only; the CARLA server stays an external process).
+
+Per the rebuild contract (BASELINE.json north star), the simulator remains
+host-side behind the agent APIs. This package provides the first-party pieces:
+server lifecycle, the expert-driven dataset collector, and the crash-restart
+supervisor. The vendored carla-roach gym environment itself (reference
+carla_gym/, ~7.5k LoC of CARLA RPC glue) is intentionally not re-shipped here;
+any env exposing the RlCameraWrapper observation dict plugs into the agents
+and collector (see driving.fake_env for the contract).
+"""
+
+from .collector import DataCollector, count_current_saved, world_to_agent
+from .collect_loop import collect_loop
+from .create_agent import ENV_FACTORIES, create_env, create_server, register_env_factory
+from .server_utils import CarlaServerManager, kill_carla
+
+__all__ = [
+    "DataCollector",
+    "count_current_saved",
+    "world_to_agent",
+    "collect_loop",
+    "CarlaServerManager",
+    "kill_carla",
+    "create_server",
+    "create_env",
+    "register_env_factory",
+    "ENV_FACTORIES",
+]

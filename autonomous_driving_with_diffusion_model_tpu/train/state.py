@@ -1,0 +1,174 @@
+"""Train state: params, BN stats, AdamW/EMA state, and the jitted SPMD step.
+
+Reference training semantics reproduced (train.py:106-327):
+
+* AdamW betas (0.95, 0.999), eps 1e-7, torch-default weight decay 0.01
+  (train.py:170) with constant-after-warmup LR (train.py:171-174);
+* per-iteration: t ~ U[0, TIME_STEPS), x_t = add_noise(x0), anchor zeroing of
+  the first waypoint (train.py:232-235), optional whole-batch CFG cond drop
+  with prob 1 - USE_FREE_COND_PROB (train.py:237-241), MSE on eps or x0 per
+  PRED_TYPE (train.py:244-249);
+* NaN-scrub of gradients (nan->0, +-inf->+-1e5; train.py:252-255);
+* EMA update each synced step (train.py:260-261).
+
+TPU-native execution: one jitted step over a data-parallel mesh — batch
+sharded on the ``data`` axis, state replicated; XLA inserts the gradient
+all-reduce (the NCCL allreduce equivalent) automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.schedule import DiffusionSchedule, add_noise
+from ..models.temporal_unet import TemporalMapUnet
+from ..utils.constants import ANCHOR_DIMS, GuidanceType
+from .ema import EmaConfig, EmaState, ema_init, ema_update
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_lr_schedule"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EmaState
+    step: jax.Array  # () int32
+
+
+def make_lr_schedule(base_lr: float, warmup_steps: int):
+    """Constant schedule with linear warmup (diffusers
+    get_constant_schedule_with_warmup; reference train.py:171-174)."""
+
+    def schedule(step):
+        warm = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
+        return base_lr * warm
+
+    return schedule
+
+
+def make_optimizer(cfg):
+    return optax.adamw(
+        learning_rate=make_lr_schedule(cfg.TRAIN.LR, cfg.TRAIN.LR_WARMUP),
+        b1=0.95,
+        b2=0.999,
+        eps=1e-7,
+        weight_decay=0.01,  # torch AdamW default (reference passes none)
+    )
+
+
+def create_train_state(model: TemporalMapUnet, variables, cfg) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    ema_cfg = EmaConfig(
+        decay=cfg.TRAIN.EMA_MAX_DECAY,
+        update_after_step=5000,
+        use_ema_warmup=True,
+        inv_gamma=cfg.TRAIN.EMA_INV_GAMMA,
+        power=cfg.TRAIN.EMA_POWER,
+    )
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema=ema_init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _nan_scrub(grads):
+    """Reference train.py:252-255 nan_to_num on gradients."""
+    return jax.tree.map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads
+    )
+
+
+def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
+    """Build the jitted training step.
+
+    step(state, batch, rng) -> (state, metrics); batch is a dict with
+    ``image`` (B,H,W,3), ``trajs`` (B,16,7), ``target`` (B,2).
+    Shard the batch's leading dim over the mesh and pass replicated state —
+    jit partitions the rest.
+    """
+    tx = make_optimizer(cfg)
+    use_cond = GuidanceType[cfg.TRAIN.USE_COND]
+    pred_type = cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE
+    time_steps = cfg.TRAIN.TIME_STEPS
+    keep_prob = cfg.TRAIN.USE_FREE_COND_PROB
+    ema_cfg = EmaConfig(
+        decay=cfg.TRAIN.EMA_MAX_DECAY,
+        update_after_step=5000,
+        use_ema_warmup=True,
+        inv_gamma=cfg.TRAIN.EMA_INV_GAMMA,
+        power=cfg.TRAIN.EMA_POWER,
+    )
+
+    def loss_fn(params, batch_stats, batch, rng):
+        trajs = batch["trajs"].astype(jnp.float32)
+        image = batch["image"].astype(jnp.float32)
+        B = trajs.shape[0]
+        rng_t, rng_noise, rng_drop, rng_dropout = jax.random.split(rng, 4)
+        t = jax.random.randint(rng_t, (B,), 0, time_steps)
+        noise = jax.random.normal(rng_noise, trajs.shape, trajs.dtype)
+        noise_data = add_noise(schedule, trajs, noise, t)
+        noise_data = noise_data.at[..., 0, :ANCHOR_DIMS].set(0.0)
+
+        cond = None
+        if use_cond == GuidanceType.FREE_GUIDANCE:
+            # whole-batch cond drop with prob (1 - keep_prob), matching
+            # train.py:237-241 (random() > USE_FREE_COND_PROB -> cond None;
+            # cond None == zeros inside the model, temporal.py:207).
+            keep = jax.random.uniform(rng_drop, ()) <= keep_prob
+            cond = jnp.where(keep, batch["target"].astype(jnp.float32), 0.0)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        pred, mutated = model.apply(
+            variables,
+            noise_data,
+            img=image,
+            time=t.astype(jnp.float32),
+            cond=cond,
+            train=True,
+            deterministic=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng_dropout},
+        )
+        target = noise if pred_type == "epsilon" else trajs
+        if pred_type not in ("epsilon", "sample"):
+            raise ValueError("Not supported prediction type.")
+        loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+        return loss, mutated["batch_stats"]
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        grads = _nan_scrub(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(ema_cfg, state.ema, new_params)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema=new_ema,
+            step=state.step + 1,
+        )
+        from .ema import ema_decay_for_step
+
+        lr = make_lr_schedule(cfg.TRAIN.LR, cfg.TRAIN.LR_WARMUP)(state.step)
+        metrics = {
+            "loss": loss,
+            "lr": lr,
+            "ema_decay": ema_decay_for_step(ema_cfg, new_ema.optimization_step),
+        }
+        return new_state, metrics
+
+    return train_step

@@ -157,6 +157,10 @@ def create_cfg() -> CfgNode:
     cfg.MODEL.DIM = 64
     cfg.MODEL.DIM_MULTS = (1, 2, 4, 8)
     cfg.MODEL.DIFFUSER_BUILDING_BLOCK = "concat"
+    # TPU-native extension: perception encoder family. The reference hardcodes
+    # resnet34 (modeling/temporal.py:83); torch-checkpoint conversion requires
+    # "resnet34". "tiny" is a 2-conv encoder for tests/experiments.
+    cfg.MODEL.PERCEPTION = "resnet34"
 
     # ======= Train =======
     cfg.TRAIN = CfgNode()
@@ -243,6 +247,8 @@ def create_cfg() -> CfgNode:
     cfg.TPU.DATA_PARALLEL = -1
     # Reuse one fixed init-noise tensor across plans (reference interact.py:100).
     cfg.TPU.FIXED_INIT_NOISE = True
+    # Run Conv1dBlocks as one fused Pallas kernel (conv+GN+Mish) on TPU.
+    cfg.TPU.USE_PALLAS_CONV = False
     return cfg
 
 

@@ -1,0 +1,162 @@
+"""Benchmark: trajectory-sampling performance on the local accelerator.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...extras}``.
+
+Headline: p50 single-plan latency at the flagship closed-loop operating point
+(BASELINE.json: "p50 single-plan latency under 30 ms for closed-loop
+control"), measured for the full fused plan: ResNet-34 perception on a
+900x256 frame (hoisted, once per plan) + DDIM-50 denoising of a 16x7
+trajectory. ``vs_baseline`` = 30 ms / measured p50 (>1 beats the bar).
+
+Extras: batched throughput at DDIM-50 (traj/s/chip), the reference-execution
+strict mode (perception re-run every step, as the torch reference does —
+temporal.py:203) for an apples-to-apples speedup figure, and the closed-loop
+CFG DDIM-10 plan latency.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _percentile(samples, q):
+    return float(np.percentile(np.asarray(samples), q))
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+
+def main():
+    import jax
+
+    # persistent compile cache: repeat bench runs skip the (minutes-long on the
+    # tunneled dev setup) XLA compiles when the programs are unchanged
+    jax.config.update("jax_compilation_cache_dir", "/tmp/adm_tpu_jax_cache_dev")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import (
+        make_schedule,
+        sampler_from_cfg,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.models import build_model
+    from autonomous_driving_with_diffusion_model_tpu.utils.config import (
+        create_cfg,
+        merge_possible_with_base,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 256, 900, 3)), jnp.float32)
+    init1 = jnp.asarray(rng.standard_normal((1, 16, 7)), jnp.float32)
+
+    def build(cfg):
+        model = build_model(cfg)
+        variables = jax.jit(
+            lambda k: model.init(k, init1, img=img, time=jnp.asarray([1.0], jnp.float32))
+        )(jax.random.PRNGKey(0))
+        schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
+        return model, variables, schedule
+
+    def time_fn(fn, *args, iters=30, warmup=2):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*args))
+        samples = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            samples.append((time.perf_counter() - t0) * 1000.0)
+        return samples
+
+    def chained_ms(fn, variables, init, *args, iters=40):
+        """Per-call device time with host<->device roundtrips amortized.
+
+        Each call consumes a value derived from the previous output, forcing
+        sequential device execution; only the last result is fetched. On the
+        tunneled dev setup a per-call block_until_ready measures ~25 ms of
+        relay RPC latency — this measures what the chip actually spends.
+        """
+        out = fn(variables, init, *args)
+        for _ in range(3):  # warm the glue ops (slice/mul/add) too
+            out = fn(variables, init + 0.0 * out[0, 0, 0], *args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(variables, init + 0.0 * out[0, 0, 0], *args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    # ---- headline: DDIM-50 no-guidance single-plan latency (fused, hoisted)
+    _log("building DDIM-50 model...")
+    cfg = create_cfg()
+    cfg.EVAL.SAMPLE_STEPS = 50
+    model, variables, schedule = build(cfg)
+    sample = jax.jit(sampler_from_cfg(model, schedule, cfg))
+    _log("compiling DDIM-50 batch-1 plan...")
+    host_lat = time_fn(sample, variables, init1, img, iters=10)
+    host_p50 = _percentile(host_lat, 50)
+    p50 = chained_ms(sample, variables, init1, img)
+    _log(f"batch-1: device {p50:.2f} ms, host-roundtrip p50 {host_p50:.2f} ms")
+
+    # ---- strict reference-execution mode (perception inside every step)
+    cfg_strict = create_cfg()
+    cfg_strict.EVAL.SAMPLE_STEPS = 50
+    cfg_strict.TPU.HOIST_PERCEPTION = False
+    sample_strict = jax.jit(sampler_from_cfg(model, schedule, cfg_strict))
+    _log("compiling strict (per-step perception) mode...")
+    p50_strict = chained_ms(sample_strict, variables, init1, img, iters=20)
+    _log(f"strict device = {p50_strict:.2f} ms")
+
+    # ---- batched throughput at DDIM-50
+    best_tp = 0.0
+    best_batch = 1
+    for B in (16, 64):
+        initB = jnp.asarray(rng.standard_normal((B, 16, 7)), jnp.float32)
+        imgB = jnp.tile(img, (B, 1, 1, 1))
+        _log(f"compiling batch-{B} throughput run...")
+        msB = chained_ms(sample, variables, initB, imgB, iters=20)
+        tp = B / (msB / 1000.0)
+        _log(f"batch {B}: {tp:.0f} traj/s")
+        if tp > best_tp:
+            best_tp, best_batch = tp, B
+
+    # ---- closed-loop flagship: CFG DDIM-10 (free_guidance operating point)
+    _log("building CFG DDIM-10 model...")
+    cfg_cfgmode = create_cfg()
+    merge_possible_with_base(cfg_cfgmode, "configs/guidance/free_guidance.yaml")
+    model_f, variables_f, schedule_f = build(cfg_cfgmode)
+    sample_f = jax.jit(sampler_from_cfg(model_f, schedule_f, cfg_cfgmode))
+    target = jnp.asarray(rng.standard_normal((1, 2)), jnp.float32)
+
+    def plan_cfg(v, x, im, tgt):
+        return sample_f(v, x, image=im, target=tgt)
+
+    _log("compiling CFG DDIM-10 plan...")
+    p50_cfg10 = chained_ms(plan_cfg, variables_f, init1, img, target)
+    _log(f"CFG-10 device = {p50_cfg10:.2f} ms")
+
+    result = {
+        "metric": "p50_plan_latency_ms_ddim50",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(30.0 / p50, 2),
+        "extra": {
+            "platform": str(jax.devices()[0]),
+            "p50_plan_latency_ms_cfg_ddim10": round(p50_cfg10, 3),
+            "traj_per_s_per_chip_ddim50": round(best_tp, 1),
+            "throughput_batch": best_batch,
+            "p50_strict_reference_exec_ms": round(p50_strict, 3),
+            "fused_vs_strict_speedup": round(p50_strict / p50, 2),
+            "host_roundtrip_p50_ms": round(host_p50, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: CPU XLA compiles of the ResNet-sized graphs
+# take ~1 min each; cache them across test runs under /tmp.
+jax.config.update("jax_compilation_cache_dir", "/tmp/adm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

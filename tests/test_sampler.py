@@ -17,6 +17,7 @@ from autonomous_driving_with_diffusion_model_tpu.utils.constants import MAGIC_NU
 def tiny_cfg(use_cond="NO_GUIDANCE", scheduler="ddim", steps=4):
     cfg = create_cfg()
     cfg.MODEL.DIM = 8
+    cfg.MODEL.PERCEPTION = "tiny"
     cfg.TRAIN.USE_COND = use_cond
     cfg.GUIDANCE.USE_COND = use_cond
     cfg.EVAL.SCHEDULER = scheduler
