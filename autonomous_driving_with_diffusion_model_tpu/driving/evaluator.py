@@ -1,0 +1,141 @@
+"""Route evaluation harness with leaderboard-format records.
+
+A slim, simulator-agnostic equivalent of the leaderboard evaluator loop
+(reference: leaderboard/leaderboard/leaderboard_evaluator.py:282-431 +
+utils/statistics_manager.py): runs an agent closed-loop over a list of routes,
+scores each episode (driving.scoring), and writes a ``_checkpoint`` JSON that
+``driving.statistics.aggregate`` (and the reference's statistics CLI) consume
+directly — including crash classification and ``--resume`` semantics (finished
+routes are skipped on re-run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import traceback
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .scoring import EpisodeCounters, episode_stats
+from .statistics import INFRACTION_KEYS
+
+__all__ = ["RouteEvaluator"]
+
+
+class RouteEvaluator:
+    def __init__(
+        self,
+        agent_factory: Callable[[], object],
+        env_factory: Callable[[Dict], object],
+        routes: List[Dict],
+        checkpoint_path: str,
+        max_steps_per_route: int = 1000,
+        counters_fn: Optional[Callable[[object], EpisodeCounters]] = None,
+    ):
+        """agent_factory() -> agent with ``compute_control(state)``;
+        env_factory(route) -> env; routes: [{"id", "length_m", ...}].
+        ``counters_fn(env)`` extracts infraction counters after an episode
+        (defaults to zero counters for envs without criteria)."""
+        self.agent_factory = agent_factory
+        self.env_factory = env_factory
+        self.routes = routes
+        self.checkpoint_path = checkpoint_path
+        self.max_steps = max_steps_per_route
+        self.counters_fn = counters_fn or (lambda env: EpisodeCounters())
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _load(self) -> Dict:
+        if os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path) as f:
+                return json.load(f)
+        return {"_checkpoint": {"records": [], "progress": []}}
+
+    def _save(self, data: Dict) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(self.checkpoint_path)), exist_ok=True)
+        with open(self.checkpoint_path, "w") as f:
+            json.dump(data, f, indent=2)
+
+    # -------------------------------------------------------------------- run
+
+    def run(self, resume: bool = True) -> Dict:
+        data = self._load() if resume else {"_checkpoint": {"records": [], "progress": []}}
+        done_ids = {r["route_id"] for r in data["_checkpoint"]["records"]}
+
+        for index, route in enumerate(self.routes):
+            route_id = route.get("id", f"route_{index}")
+            if route_id in done_ids:
+                continue
+            record = self._run_one(route, route_id, index)
+            data["_checkpoint"]["records"].append(record)
+            data["_checkpoint"]["progress"] = [
+                len(data["_checkpoint"]["records"]),
+                len(self.routes),
+            ]
+            self._save(data)
+        return data
+
+    def _run_one(self, route: Dict, route_id: str, index: int) -> Dict:
+        status = "Completed"
+        crash_message = ""
+        steps = 0
+        completed_m = 0.0
+        counters = EpisodeCounters()
+        is_completed = False
+        try:
+            env = self.env_factory(route)
+            agent = self.agent_factory()
+            state = env.reset()
+            start = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
+            pos = start
+            while steps < self.max_steps:
+                control = agent.compute_control(state)
+                result = env.step({0: control})
+                state = result[0]
+                done = bool(result[2]) if len(result) > 2 else False
+                new_pos = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
+                completed_m += float(np.linalg.norm(new_pos - pos))
+                pos = new_pos
+                steps += 1
+                if done:
+                    is_completed = True
+                    break
+            counters = self.counters_fn(env)
+        except Exception:
+            status = "Failed - Agent crashed"
+            crash_message = traceback.format_exc(limit=3)
+
+        length_m = float(route.get("length_m", max(completed_m, 1.0)))
+        stats = episode_stats(
+            counters,
+            route_length_m=length_m,
+            route_completed_m=completed_m,
+            is_route_completed=is_completed,
+            episode_length=steps,
+        )
+        infractions = {
+            "collisions_layout": ["event"] * counters.collisions_layout,
+            "collisions_pedestrian": ["event"] * counters.collisions_pedestrian,
+            "collisions_vehicle": ["event"] * counters.collisions_vehicle,
+            "red_light": ["event"] * counters.red_light,
+            "stop_infraction": ["event"] * counters.stop_infraction,
+            "vehicle_blocked": ["event"] * counters.vehicle_blocked,
+            "outside_route_lanes": [],
+        }
+        assert set(infractions) == set(INFRACTION_KEYS)
+        return {
+            "route_id": route_id,
+            "index": index,
+            "status": status,
+            "crash_message": crash_message,
+            "num_steps": steps,
+            "scores": {
+                "score_composed": stats["score_composed"] * 100.0,
+                "score_route": stats["score_route"] * 100.0,
+                "score_penalty": stats["score_penalty"],
+            },
+            "meta": {"route_length": length_m},
+            "infractions": infractions,
+        }

@@ -1,0 +1,138 @@
+"""Scoring math, gps conversion, evaluator harness, tracker."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from autonomous_driving_with_diffusion_model_tpu.driving import (
+    EpisodeCounters,
+    FakeDrivingEnv,
+    InteractAgent,
+    PENALTIES,
+    RouteEvaluator,
+    aggregate,
+    episode_stats,
+    gps2xyz,
+    xyz2gps,
+)
+
+
+def test_penalty_constants_match_reference():
+    """Literal constants from ego_vehicle_handler.py:8-12 (module imports carla,
+    so values are pinned here instead of imported)."""
+    assert PENALTIES["collisions_pedestrian"] == 0.50
+    assert PENALTIES["collisions_vehicle"] == 0.60
+    assert PENALTIES["collisions_layout"] == 0.65
+    assert PENALTIES["red_light"] == 0.70
+    assert PENALTIES["stop_infraction"] == 0.80
+
+
+def test_episode_stats_formula():
+    c = EpisodeCounters(collisions_vehicle=2, red_light=1, outside_lane_m=100.0)
+    stats = episode_stats(
+        c, route_length_m=2000.0, route_completed_m=1000.0, is_route_completed=False
+    )
+    assert stats["score_route"] == pytest.approx(0.5)
+    expected_penalty = (1 - 0.1 / 1.0) * 0.6**2 * 0.7
+    assert stats["score_penalty"] == pytest.approx(expected_penalty)
+    assert stats["score_composed"] == pytest.approx(0.5 * expected_penalty)
+    assert stats["collisions_vehicle"] == pytest.approx(2.0)  # per km
+    # completed route overrides fraction
+    stats2 = episode_stats(
+        EpisodeCounters(), route_length_m=2000.0, route_completed_m=1500.0,
+        is_route_completed=True,
+    )
+    assert stats2["score_route"] == 1.0
+    assert stats2["is_route_completed_nocrash"] == 1.0
+    # endless mode scores completed km
+    stats3 = episode_stats(
+        EpisodeCounters(), route_length_m=1.0, route_completed_m=3500.0,
+        is_route_completed=False, endless=True,
+    )
+    assert stats3["score_route"] == pytest.approx(3.5)
+
+
+def test_gps_roundtrip_matches_reference(rng):
+    from carla_gym.utils import gps_utils as ref_gps
+
+    for _ in range(10):
+        x, y, z = rng.uniform(-5000, 5000, 3)
+        lat, lon, z2 = xyz2gps(x, y, z)
+        assert (lat, lon, z2) == pytest.approx(ref_gps.xyz2gps(x, y, z))
+        bx, by, bz = gps2xyz(lat, lon, z2)
+        assert (bx, by) == pytest.approx((x, y), abs=1e-6)
+        assert (bx, by, bz) == pytest.approx(ref_gps.gps2xyz(lat, lon, z2))
+
+
+def test_route_evaluator_end_to_end(tmp_path):
+    from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg
+
+    cfg = create_cfg()
+    cfg.MODEL.DIM = 8
+    cfg.MODEL.PERCEPTION = "tiny"
+    cfg.EVAL.SAMPLE_STEPS = 2
+    cfg.TRAIN.IMAGE_HEIGHT = 32
+    cfg.TRAIN.IMAGE_WIDTH = 48
+
+    routes = [{"id": "r0", "length_m": 50.0}, {"id": "r1", "length_m": 50.0}]
+
+    def env_factory(route):
+        r = np.stack([np.arange(0.0, 50.0, 2.0), np.zeros(25)], axis=-1)
+        return FakeDrivingEnv(route=r, image_hw=(32, 48), bev_hw=(64, 64))
+
+    def agent_factory():
+        return InteractAgent(cfg, env=None)
+
+    ckpt = str(tmp_path / "eval.json")
+    ev = RouteEvaluator(agent_factory, env_factory, routes, ckpt, max_steps_per_route=20)
+    data = ev.run()
+    records = data["_checkpoint"]["records"]
+    assert len(records) == 2
+    assert records[0]["route_id"] == "r0"
+    assert records[0]["status"] == "Completed"
+    assert "score_composed" in records[0]["scores"]
+    # resume: a second run skips finished routes (no duplicates)
+    data2 = RouteEvaluator(agent_factory, env_factory, routes, ckpt, 20).run(resume=True)
+    assert len(data2["_checkpoint"]["records"]) == 2
+    # json on disk parses and feeds the statistics aggregator (pad to 15 first)
+    with open(ckpt) as f:
+        saved = json.load(f)
+    saved["_checkpoint"]["records"] = saved["_checkpoint"]["records"] * 8
+    out = aggregate(saved)
+    assert np.isfinite(out["score_composed"])
+
+
+def test_evaluator_crash_classification(tmp_path):
+    class CrashingAgent:
+        def compute_control(self, state):
+            raise RuntimeError("boom")
+
+    def env_factory(route):
+        return FakeDrivingEnv(image_hw=(16, 16), bev_hw=(16, 16))
+
+    ev = RouteEvaluator(
+        lambda: CrashingAgent(), env_factory, [{"id": "r0", "length_m": 10.0}],
+        str(tmp_path / "c.json"), 5,
+    )
+    data = ev.run()
+    rec = data["_checkpoint"]["records"][0]
+    assert rec["status"] == "Failed - Agent crashed"
+    assert "boom" in rec["crash_message"]
+
+
+def test_tracker(tmp_path):
+    from autonomous_driving_with_diffusion_model_tpu.utils.tracker import Tracker
+
+    tr = Tracker(str(tmp_path), "test")
+    tr.log({"loss": 1.5, "lr": 1e-4}, step=10)
+    tr.log({"loss": 1.2}, step=20)
+    lines = [json.loads(ln) for ln in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["event"] == "run_start"
+    assert lines[1]["loss"] == 1.5 and lines[1]["step"] == 10
+    assert lines[2]["loss"] == 1.2

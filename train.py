@@ -168,6 +168,9 @@ def main(args):
     use_augment = cfg.TRAIN.USE_IMG_AUGMENTOR
     augment = jax.jit(augment_batch) if use_augment else None
 
+    from autonomous_driving_with_diffusion_model_tpu.utils.tracker import Tracker
+
+    tracker = Tracker(cfg.PROJECT_DIR, cfg.PROJECT_NAME, enabled=is_main_process())
     loss_meter = MetricMeter()
     iter_time = AverageMeter()
     max_iter = cfg.TRAIN.MAX_ITER
@@ -224,6 +227,7 @@ def main(args):
                 float(metrics["lr"]),
                 loss_meter,
             )
+            tracker.log(loss_meter.get_log_dict() | {"lr": float(metrics["lr"])}, step=cur_iter)
             start = time.time()
 
         if (cur_iter % cfg.TRAIN.SAVE_INTERVAL == 0 or cur_iter == max_iter) and is_main_process():
