@@ -30,7 +30,15 @@ from ..models.temporal_unet import TemporalMapUnet
 from ..utils.constants import ANCHOR_DIMS, MAGIC_NUM, GuidanceType
 from .guidance import make_guidance_fn
 from .schedule import DiffusionSchedule, leading_timesteps
-from .steps import StepConfig, ddim_step, ddim_variance, ddpm_step, ddpm_variance
+from .steps import (
+    StepConfig,
+    ddim_step,
+    ddim_variance,
+    ddpm_step,
+    ddpm_variance,
+    inpaint_blend_ddim,
+    inpaint_blend_ddpm,
+)
 
 __all__ = ["SamplerConfig", "make_sampler", "sampler_from_cfg"]
 
@@ -46,6 +54,10 @@ class SamplerConfig(NamedTuple):
     loss_list: Optional[Sequence] = None
     hoist_perception: bool = True
     scale_to_meters: bool = True
+    # RePaint-style inpainting (reference: scheduler/inpainting_*.py): blend a
+    # known trajectory region (target_traj/target_mask passed at call time)
+    # into every reverse step.
+    inpainting: bool = False
 
 
 def _anchor(trajs: jax.Array) -> jax.Array:
@@ -75,6 +87,10 @@ def make_sampler(
     use_ddpm = cfg.scheduler == "ddpm"
     step_fn = ddpm_step if use_ddpm else ddim_step
     var_fn = ddpm_variance if use_ddpm else ddim_variance
+    if cfg.inpainting:
+        if cfg.guidance != GuidanceType.NO_GUIDANCE:
+            raise ValueError("inpainting samplers have no guidance hook (like the reference)")
+        blend_fn = inpaint_blend_ddpm if use_ddpm else inpaint_blend_ddim
 
     def sample(
         variables,
@@ -84,6 +100,8 @@ def make_sampler(
         target: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         noise_seq: Optional[jax.Array] = None,
+        target_traj: Optional[jax.Array] = None,
+        target_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         B = init_trajs.shape[0]
         trajs = _anchor(init_trajs)
@@ -93,7 +111,7 @@ def make_sampler(
                 variables, image, train=False, method=TemporalMapUnet.encode_image
             )
 
-        needs_noise = use_ddpm or cfg.step.eta > 0
+        needs_noise = use_ddpm or cfg.step.eta > 0 or cfg.inpainting
         if needs_noise and noise_seq is None:
             if rng is None:
                 rng = jax.random.PRNGKey(0)
@@ -162,7 +180,20 @@ def make_sampler(
                 )
                 model_output = guide_fn(model_output, action, target, grad_scale)
 
-            trajs, _ = step_fn(schedule, cfg.step, model_output, t, prev_t, trajs, noise)
+            if cfg.inpainting:
+                trajs, _ = blend_fn(
+                    schedule,
+                    cfg.step,
+                    model_output,
+                    t,
+                    prev_t,
+                    trajs,
+                    noise,
+                    target_traj=target_traj,
+                    target_mask=target_mask,
+                )
+            else:
+                trajs, _ = step_fn(schedule, cfg.step, model_output, t, prev_t, trajs, noise)
             return _anchor(trajs), None
 
         xs = (ts, prev_ts, noise_seq) if needs_noise else (ts, prev_ts)

@@ -7,6 +7,7 @@ from .leaderboard_agent import DiffusionAgent, get_entry_point
 from .pid import PIDController
 from .plan import DiffusionPlanner, process_next_waypoint, way_point_to_pixel
 from .planner import RoutePlanner
+from .routes import parse_routes_xml, parse_scenarios_json, route_length_m
 from .scoring import PENALTIES, EpisodeCounters, episode_stats
 from .statistics import aggregate, cal_std
 
@@ -20,6 +21,9 @@ __all__ = [
     "PENALTIES",
     "gps2xyz",
     "xyz2gps",
+    "parse_routes_xml",
+    "parse_scenarios_json",
+    "route_length_m",
     "DiffusionPlanner",
     "process_next_waypoint",
     "way_point_to_pixel",
