@@ -21,7 +21,12 @@ import numpy as np
 
 from ..utils.constants import MAGIC_NUM, GuidanceType
 
-__all__ = ["DiffusionPlanner", "process_next_waypoint", "way_point_to_pixel"]
+__all__ = [
+    "DiffusionPlanner",
+    "process_next_waypoint",
+    "agent_to_world",
+    "way_point_to_pixel",
+]
 
 
 def way_point_to_pixel(waypoint: float, magic_num: float = 1.0) -> int:
@@ -42,6 +47,19 @@ def process_next_waypoint(next_point, cur_point, yaw):
     local = R.T.dot(local.reshape(-1, 2).T).T
     target = np.stack([local[:, 1], -local[:, 0]], axis=-1) / MAGIC_NUM
     return target.astype(np.float32)
+
+
+def agent_to_world(agent_pos, yaw, cur_pos):
+    """Ego-frame trajectory -> world xy, for in-world debug drawing
+    (reference: interact.py:249-260). agent_pos: (H, 2) meters."""
+    if math.isnan(yaw):
+        yaw = 0.0
+    theta = yaw + np.pi / 2.0
+    agent_pos = np.asarray(agent_pos, np.float64)
+    agent_pos = np.stack([-agent_pos[:, 1], agent_pos[:, 0]], axis=-1)
+    R = np.array([[np.cos(theta), np.sin(theta)], [-np.sin(theta), np.cos(theta)]])
+    world = R.T.dot(agent_pos.T).T
+    return world + np.asarray(cur_pos, np.float64)[None]
 
 
 class DiffusionPlanner:

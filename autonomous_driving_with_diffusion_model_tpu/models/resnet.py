@@ -35,24 +35,25 @@ def _kaiming_conv_init(kh: int, kw: int, cin: int):
 
 
 class Conv2d(nn.Module):
-    """2-D conv, weight (Kh, Kw, Cin, Cout), torchvision-style init, no bias."""
+    """2-D conv, weight (Kh, Kw, Cin/groups, Cout), torchvision-style init, no bias."""
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = False
+    groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         k = self.kernel_size
         w = self.param("weight", _kaiming_conv_init(k, k, cin), (k, k, cin, self.features))
         b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return conv2d(x.astype(self.dtype), w, b, self.stride, self.padding)
+        return conv2d(x.astype(self.dtype), w, b, self.stride, self.padding, self.groups)
 
 
 class BatchNorm(nn.Module):
@@ -151,7 +152,9 @@ class Bottleneck(nn.Module):
         out = Conv2d(width, 1, 1, 0, dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(width, name="bn1")(out, use_running_average=not train)
         out = jax.nn.relu(out)
-        out = Conv2d(width, 3, self.stride, 1, dtype=self.dtype, name="conv2")(out)
+        out = Conv2d(
+            width, 3, self.stride, 1, groups=self.groups, dtype=self.dtype, name="conv2"
+        )(out)
         out = BatchNorm(width, name="bn2")(out, use_running_average=not train)
         out = jax.nn.relu(out)
         out = Conv2d(out_ch, 1, 1, 0, dtype=self.dtype, name="conv3")(out)

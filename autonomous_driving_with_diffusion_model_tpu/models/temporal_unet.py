@@ -40,7 +40,15 @@ from .blocks import (
     TrajPredict,
     Upsample1d,
 )
-from .resnet import resnet18, resnet34, resnet50, resnet101
+from .resnet import (
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+    resnet152,
+    resnext50_32x4d,
+    wide_resnet50_2,
+)
 
 Dtype = Any
 
@@ -68,6 +76,9 @@ PERCEPTION_BUILDERS = {
     "resnet34": resnet34,
     "resnet50": resnet50,
     "resnet101": resnet101,
+    "resnet152": resnet152,
+    "resnext50_32x4d": resnext50_32x4d,
+    "wide_resnet50_2": wide_resnet50_2,
     "tiny": lambda num_classes, dtype: TinyEncoder(num_classes=num_classes, dtype=dtype),
 }
 

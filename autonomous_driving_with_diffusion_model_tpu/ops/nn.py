@@ -144,10 +144,11 @@ def conv2d(
     b: jax.Array | None = None,
     stride: int = 1,
     padding: int = 0,
+    groups: int = 1,
 ) -> jax.Array:
-    """2-D convolution, NHWC.
+    """2-D convolution, NHWC (optionally grouped).
 
-    x: (B, H, W, Cin); w: (Kh, Kw, Cin, Cout) [HWIO].
+    x: (B, H, W, Cin); w: (Kh, Kw, Cin/groups, Cout) [HWIO].
     Equivalent to torch ``nn.Conv2d`` with weight (O,I,Kh,Kw)->(Kh,Kw,I,O).
     """
     if isinstance(stride, int):
@@ -160,6 +161,7 @@ def conv2d(
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if b is not None:
         out = out + b.astype(out.dtype)

@@ -101,6 +101,19 @@ def test_process_next_waypoint_formula():
     assert np.isfinite(out2).all()
 
 
+def test_agent_to_world_inverts_ego_transform(rng):
+    """agent_to_world (interact.py:249-260) inverts process_next_waypoint."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import agent_to_world
+    from autonomous_driving_with_diffusion_model_tpu.utils.constants import MAGIC_NUM
+
+    w = rng.standard_normal((5, 2)) * 20
+    c = rng.standard_normal(2) * 5
+    yaw = 0.7
+    ego = process_next_waypoint(w, c, yaw) * MAGIC_NUM
+    back = agent_to_world(ego, yaw, c)
+    np.testing.assert_allclose(back, w, atol=1e-5)
+
+
 def test_interact_agent_closed_loop_fake_env():
     cfg = tiny_cfg("NO_GUIDANCE")
     env = FakeDrivingEnv(image_hw=(32, 48), bev_hw=(64, 64))
