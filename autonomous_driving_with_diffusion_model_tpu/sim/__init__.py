@@ -12,7 +12,25 @@ and collector (see driving.fake_env for the contract).
 from .collector import DataCollector, count_current_saved, world_to_agent
 from .collect_loop import collect_loop
 from .create_agent import ENV_FACTORIES, create_env, create_server, register_env_factory
+from .criteria import (
+    Blocked,
+    CollisionTracker,
+    EncounterLight,
+    OutsideRouteLaneTracker,
+    RouteDeviation,
+    RunRedLight,
+    RunStopSign,
+)
+from .expert import ExpertPID, LocalPlanner, RoadOption, expert_control
+from .reward import (
+    ValeoActionReward,
+    desired_speed_from_hazards,
+    lbc_hazard_vehicle,
+    lbc_hazard_walker,
+)
 from .server_utils import CarlaServerManager, kill_carla
+from .terminal import ValeoTerminal
+from .weather import DynamicWeather, Storm, Sun
 
 __all__ = [
     "DataCollector",
@@ -25,4 +43,23 @@ __all__ = [
     "create_env",
     "register_env_factory",
     "ENV_FACTORIES",
+    "Blocked",
+    "CollisionTracker",
+    "EncounterLight",
+    "OutsideRouteLaneTracker",
+    "RouteDeviation",
+    "RunRedLight",
+    "RunStopSign",
+    "ValeoActionReward",
+    "desired_speed_from_hazards",
+    "lbc_hazard_vehicle",
+    "lbc_hazard_walker",
+    "ValeoTerminal",
+    "DynamicWeather",
+    "Sun",
+    "Storm",
+    "ExpertPID",
+    "LocalPlanner",
+    "RoadOption",
+    "expert_control",
 ]

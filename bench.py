@@ -103,19 +103,10 @@ def main():
     p50 = chained_ms(sample, variables, init1, img)
     _log(f"batch-1: device {p50:.2f} ms, host-roundtrip p50 {host_p50:.2f} ms")
 
-    # ---- strict reference-execution mode (perception inside every step)
-    cfg_strict = create_cfg()
-    cfg_strict.EVAL.SAMPLE_STEPS = 50
-    cfg_strict.TPU.HOIST_PERCEPTION = False
-    sample_strict = jax.jit(sampler_from_cfg(model, schedule, cfg_strict))
-    _log("compiling strict (per-step perception) mode...")
-    p50_strict = chained_ms(sample_strict, variables, init1, img, iters=20)
-    _log(f"strict device = {p50_strict:.2f} ms")
-
     # ---- batched throughput at DDIM-50
     best_tp = 0.0
     best_batch = 1
-    for B in (16, 64):
+    for B in (64,):
         initB = jnp.asarray(rng.standard_normal((B, 16, 7)), jnp.float32)
         imgB = jnp.tile(img, (B, 1, 1, 1))
         _log(f"compiling batch-{B} throughput run...")
@@ -150,8 +141,6 @@ def main():
             "p50_plan_latency_ms_cfg_ddim10": round(p50_cfg10, 3),
             "traj_per_s_per_chip_ddim50": round(best_tp, 1),
             "throughput_batch": best_batch,
-            "p50_strict_reference_exec_ms": round(p50_strict, 3),
-            "fused_vs_strict_speedup": round(p50_strict / p50, 2),
             "host_roundtrip_p50_ms": round(host_p50, 3),
         },
     }

@@ -1,0 +1,280 @@
+"""Sim-layer pure logic: criteria, reward, terminal, weather, expert —
+oracle-tested against importable reference modules, invariants elsewhere."""
+
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+from autonomous_driving_with_diffusion_model_tpu.sim import (
+    Blocked,
+    CollisionTracker,
+    DynamicWeather,
+    EncounterLight,
+    ExpertPID,
+    LocalPlanner,
+    OutsideRouteLaneTracker,
+    RouteDeviation,
+    RunRedLight,
+    RunStopSign,
+    Storm,
+    ValeoActionReward,
+    ValeoTerminal,
+    desired_speed_from_hazards,
+    lbc_hazard_vehicle,
+    lbc_hazard_walker,
+)
+from autonomous_driving_with_diffusion_model_tpu.sim.criteria import (
+    LightObservation,
+    StopLine,
+    segments_intersect,
+)
+
+
+class FakeLoc:
+    def __init__(self, x, y, z=0.0):
+        self.x, self.y, self.z = x, y, z
+
+    def distance(self, other):
+        return float(
+            np.linalg.norm([self.x - other.x, self.y - other.y, self.z - other.z])
+        )
+
+
+def fake_vehicle(x=0.0, y=0.0, vx=0.0, vy=0.0):
+    return SimpleNamespace(
+        get_velocity=lambda: SimpleNamespace(x=vx, y=vy, z=0.0),
+        get_location=lambda: FakeLoc(x, y),
+    )
+
+
+def test_blocked_parity_vs_reference():
+    from carla_gym.core.task_actor.common.criteria.blocked import Blocked as RefBlocked
+
+    ref = RefBlocked()
+    ours = Blocked()
+    # stationary for 100 s: both must fire after >90 s past the last valid state
+    fired_ref = fired_ours = None
+    for step, t in enumerate(np.arange(0.0, 120.0, 1.0)):
+        ts = {"relative_simulation_time": float(t), "step": step}
+        speed = 1.0 if t < 5 else 0.0  # moving first, then blocked
+        r = ref.tick(fake_vehicle(vx=speed), ts)
+        o = ours.tick(speed, float(t), step, ev_loc=(0.0, 0.0, 0.0))
+        if r is not None and fired_ref is None:
+            fired_ref = t
+        if o is not None and fired_ours is None:
+            fired_ours = t
+    assert fired_ref is not None
+    assert fired_ours == fired_ref
+
+
+def test_route_deviation_parity_vs_reference():
+    from carla_gym.core.task_actor.common.criteria.route_deviation import (
+        RouteDeviation as RefRD,
+    )
+
+    ref, ours = RefRD(), RouteDeviation()
+    route_length = 100.0
+    for step in range(40):
+        # drift away from the reference waypoint
+        dist = step * 1.0
+        vehicle = fake_vehicle(x=dist)
+        wp = SimpleNamespace(transform=SimpleNamespace(location=FakeLoc(0.0, 0.0)))
+        ts = {"relative_simulation_time": float(step), "step": step}
+        r = ref.tick(vehicle, ts, wp, distance_traveled=1.0, route_length=route_length)
+        o = ours.tick(
+            (dist, 0.0, 0.0), (0.0, 0.0), 1.0, route_length, float(step), step
+        )
+        assert (r is None) == (o is None)
+        if r is not None:
+            assert r["off_route_max"] == o["off_route_max"]
+            assert r["off_route_min"] == o["off_route_min"]
+
+
+def test_hazard_predicates_parity_vs_reference(rng):
+    from carla_gym.utils.hazard_actor import lbc_hazard_vehicle as ref_veh
+    from carla_gym.utils.hazard_actor import lbc_hazard_walker as ref_walk
+
+    for _ in range(20):
+        n = 5
+        obs = {
+            "binary_mask": rng.integers(0, 2, n),
+            "rotation": rng.uniform(-180, 180, (n, 3)),
+            "location": rng.uniform(-12, 12, (n, 3)),
+            "on_sidewalk": rng.integers(0, 2, n),
+        }
+        r = ref_veh(obs)
+        o = lbc_hazard_vehicle(obs)
+        assert (r is None) == (o is None)
+        if r is not None:
+            np.testing.assert_allclose(o, r)
+        r2, o2 = ref_walk(obs), lbc_hazard_walker(obs)
+        assert (r2 is None) == (o2 is None)
+
+
+def test_expert_pid_parity_vs_reference(rng):
+    from carla_gym.core.task_actor.scenario_actor.agents.utils.controller import (
+        PIDController as RefPID,
+    )
+
+    ref = RefPID([0.5, 0.025, 0.1])
+    ours = ExpertPID([0.5, 0.025, 0.1])
+    for e in rng.standard_normal(60):
+        assert ours.step(float(e)) == pytest.approx(ref.step(float(e)), rel=1e-12)
+
+
+def test_collision_tracker_dedup():
+    c = CollisionTracker()
+    c.on_collision((0, 0, 0), 42, "vehicle.audi.tt", (10, 0, 0), frame=5, timestamp=1.0)
+    info = c.tick((0, 0, 0), 1.0)
+    assert info["collision_type"] == CollisionTracker.TYPE_VEHICLE
+    # same actor id within 5 s: ignored
+    c.on_collision((0.1, 0, 0), 42, "vehicle.audi.tt", (10, 0, 0), frame=6, timestamp=2.0)
+    assert c.tick((0.1, 0, 0), 2.0) is None
+    # micro-collision near a registered location: ignored even for a new id
+    c.on_collision((1.0, 0, 0), 99, "walker.ped.1", (10, 0, 0), frame=7, timestamp=3.0)
+    assert c.tick((1.0, 0, 0), 3.0) is None
+    # far away + id memory expired (a tick clears the 5 s id memory before the
+    # next sensor callback, as in the sim's callback-then-criteria ordering)
+    assert c.tick((50, 0, 0), 8.5) is None
+    c.on_collision((50, 0, 0), 42, "static.prop.wall", (10, 0, 0), frame=9, timestamp=9.0)
+    info = c.tick((50, 0, 0), 9.0)
+    assert info is not None and info["collision_type"] == CollisionTracker.TYPE_STATIC
+
+
+def test_run_red_light_geometry():
+    crit = RunRedLight()
+    stop = StopLine(wp_forward=(1, 0), road_id=1, lane_id=2, left=(5, -2), right=(5, 2))
+    light = LightObservation(id=7, is_red=True, trigger_loc=(5, 0), stop_lines=[stop])
+    # tail segment crossing the stop line, same lane, same direction
+    info = crit.tick(
+        ev_loc=(5, 0), ev_dir=(1, 0), tail_close_pt=(4.5, 0), tail_far_pt=(5.5, 0),
+        tail_road_id=1, tail_lane_id=2, lights=[light],
+    )
+    assert info is not None and info["id"] == 7
+    # same light never fires twice
+    assert crit.tick((5, 0), (1, 0), (4.5, 0), (5.5, 0), 1, 2, [light]) is None
+    # green light never fires
+    crit2 = RunRedLight()
+    light_green = LightObservation(id=8, is_red=False, trigger_loc=(5, 0), stop_lines=[stop])
+    assert crit2.tick((5, 0), (1, 0), (4.5, 0), (5.5, 0), 1, 2, [light_green]) is None
+    # wrong direction (dot <= 0) never fires
+    assert crit2.tick((5, 0), (-1, 0), (4.5, 0), (5.5, 0), 1, 2, [light]) is None
+
+
+def test_segments_intersect():
+    assert segments_intersect(((0, 0), (2, 0)), ((1, -1), (1, 1)))
+    assert not segments_intersect(((0, 0), (2, 0)), ((3, -1), (3, 1)))
+    assert segments_intersect(((0, 0), (2, 2)), ((0, 2), (2, 0)))
+
+
+def test_run_stop_sign_state_machine():
+    c = RunStopSign()
+    # encounter
+    info = c.tick((0, 0), 5.0, affecting_stop_id=3, inside_trigger=False,
+                  still_affected=True, stop_loc=(10, 0))
+    assert info["event"] == "encounter"
+    # drive through the trigger without stopping, then leave -> "run"
+    c.tick((5, 0), 5.0, 3, inside_trigger=True, still_affected=True)
+    info = c.tick((20, 0), 5.0, None, inside_trigger=False, still_affected=False)
+    assert info["event"] == "run"
+    # next sign: stop properly inside -> no violation
+    c.tick((0, 0), 5.0, 4, False, True)
+    c.tick((5, 0), 0.05, 4, True, True)  # stopped inside trigger
+    assert c.tick((20, 0), 5.0, None, False, False) is None
+
+
+def test_outside_lane_tracker():
+    t = OutsideRouteLaneTracker()
+    # inside lane: nothing
+    assert t.tick((0, 0), 0.0, 0.5, 3.5, 1, 1, 0.0, False, 1.0) is None
+    # outside lane: fires with distance accounting
+    info = t.tick((0, 0), 0.0, 4.0, 3.5, 1, 1, 0.0, False, 2.0)
+    assert info["outside_lane"] and info["distance_traveled"] == 2.0
+
+
+def test_desired_speed_and_reward():
+    assert desired_speed_from_hazards() == 6.0
+    # vehicle 9 m ahead: dist-8 = 1 -> 6 * 1/5 = 1.2
+    assert desired_speed_from_hazards(hazard_vehicle_loc=(9.0, 0.0)) == pytest.approx(1.2)
+    # red light 20 m: dist-5 = 15, clipped 5 -> full speed
+    assert desired_speed_from_hazards(red_light_loc=(20.0, 0.0)) == pytest.approx(6.0)
+
+    r = ValeoActionReward()
+    reward, dbg = r.get(
+        ev_speed=6.0, ev_loc=(0, 0), ev_yaw=0.0, steer=0.0,
+        wp_loc=(0, 0), wp_yaw=0.0, desired_speed=6.0,
+    )
+    assert reward == pytest.approx(1.0)  # perfect: r_speed 1, others 0
+    # steer jerk penalty on change > 0.01
+    reward2, _ = r.get(6.0, (0, 0), 0.0, 0.5, (0, 0), 0.0, 6.0)
+    assert reward2 == pytest.approx(0.9)
+    # lateral offset of 2 m right of a north-pointing waypoint
+    reward3, dbg3 = r.get(6.0, (0, 2.0), 0.0, 0.5, (0, 0), 0.0, 6.0)
+    assert dbg3["r_position"] == pytest.approx(-1.0)
+
+
+def test_valeo_terminal():
+    t = ValeoTerminal()
+    done, timeout, tr, dbg = t.get(
+        sim_time=10.0, ev_loc=(0, 0), ev_speed=3.0, wp_loc=(0, 0), wp_yaw=0.0,
+        next_waypoint_loc=(5, 0), info_blocked=None, info_run_red_light=None,
+        info_collision=None, info_run_stop_sign=None,
+    )
+    assert not done and tr == 0.0
+    done, _, tr, dbg = t.get(
+        10.0, (0, 0), 3.0, (0, 0), 0.0, (5, 0),
+        info_blocked=None, info_run_red_light={"id": 1}, info_collision=None,
+        info_run_stop_sign=None,
+    )
+    assert done and tr == pytest.approx(-1.0 - 3.0)
+    assert dbg["exploration_suggest"]["suggest"] == ("stop", "")
+    # eval mode: timeout at 1200 s means done
+    te = ValeoTerminal(eval_mode=True)
+    done, timeout, tr, _ = te.get(
+        1300.0, (0, 0), 0.0, (0, 0), 0.0, (5, 0), None, None, None, None
+    )
+    assert done and timeout
+
+
+def test_dynamic_weather_evolution():
+    w = DynamicWeather.from_config_name("dynamic_2.0", precipitation=0.0,
+                                        rng=np.random.default_rng(0))
+    assert w.speed_factor == 2.0
+    p1 = w.tick(0.1)
+    for _ in range(1000):
+        p = w.tick(0.1)
+    assert 0 <= p["cloudiness"] <= 90
+    assert 0 <= p["precipitation"] <= 80
+    assert -90 <= p["sun_altitude_angle"] <= 50
+    assert p != p1  # actually evolving
+
+    s = Storm(0.0)
+    s.tick(1.0)
+    # formulas from dynamic_weather.py:57-66
+    assert s.rain == pytest.approx(max(0.0, min(-50.0 + 1.3, 80.0)))
+    assert s.clouds == pytest.approx(max(0.0, min(-50.0 + 1.3 + 40.0, 90.0)))
+
+
+def test_local_planner_drives_toward_waypoint():
+    lp = LocalPlanner(target_speed=6.0)
+    route = [((float(i * 2 + 2), 0.0), 4) for i in range(25)]
+    throttle, steer, brake = lp.run_step(route, (0.0, 0.0), 0.0, 0.0)
+    assert throttle > 0 and brake == 0.0
+    assert abs(steer) < 0.05  # straight ahead
+    # waypoint to the left (+y with yaw 0 => positive theta => steer > 0)
+    lp2 = LocalPlanner(target_speed=6.0)
+    throttle2, steer2, _ = lp2.run_step([((5.0, 5.0), 4)], (0.0, 0.0), 0.0, 6.0)
+    assert steer2 > 0.1
+    # non-lanefollow command scales target speed by 0.75: at 5.5 m/s actual,
+    # lanefollow target 6.0 still accelerates, turn target 4.5 doesn't
+    lp3 = LocalPlanner(target_speed=6.0)
+    t_lane, _, _ = lp3.run_step([((5.0, 0.0), 4)], (0.0, 0.0), 0.0, 5.5)
+    lp4 = LocalPlanner(target_speed=6.0)
+    t_turn, _, _ = lp4.run_step([((5.0, 0.0), 1)], (0.0, 0.0), 0.0, 5.5)
+    assert t_turn < t_lane
