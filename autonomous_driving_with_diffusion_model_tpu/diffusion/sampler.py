@@ -19,7 +19,6 @@ re-encodes the image inside every scan step (parity audits).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
@@ -216,8 +215,6 @@ def sampler_from_cfg(model, schedule, cfg, *, for_training_eval: bool = False) -
     closed-loop agents' scheduler construction (interact.py:81-94:
     thresholding=True, EVAL.SCHEDULER, EVAL.SAMPLE_STEPS).
     """
-    from .guidance import GUIDANCE_LOSSES  # noqa: F401  (registry import side)
-
     if for_training_eval:
         scfg = SamplerConfig(
             guidance=GuidanceType.NO_GUIDANCE,

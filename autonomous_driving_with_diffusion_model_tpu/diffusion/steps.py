@@ -10,8 +10,7 @@ inside the sampling scan.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

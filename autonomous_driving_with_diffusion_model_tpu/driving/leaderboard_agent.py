@@ -15,7 +15,6 @@ import math
 import os
 import pathlib
 from types import SimpleNamespace
-from typing import Optional
 
 import numpy as np
 

@@ -9,10 +9,8 @@ per-infraction penalties, outside/wrong-lane distance factor, route score
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List
-
-import numpy as np
+from dataclasses import dataclass
+from typing import Dict
 
 __all__ = ["PENALTIES", "EpisodeCounters", "episode_stats"]
 

@@ -9,7 +9,7 @@ replicated, with XLA inserting the gradient all-reduce over ICI. Multi-host
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
