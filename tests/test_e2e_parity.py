@@ -108,6 +108,143 @@ def test_full_sampling_loop_parity(pair, rng):
     np.testing.assert_allclose(got, expected, atol=5e-3, rtol=1e-3)
 
 
+def _build_ref_model(use_cond_name: str, dim: int, seed: int = 0):
+    import modeling.resnet as ref_resnet
+    import modeling.temporal as ref_temporal
+    from misc.constant import GuidanceType as RefGuidance
+
+    orig = ref_resnet.resnet34
+    ref_temporal.resnet34 = lambda pretrained=True, **kw: orig(pretrained=False, **kw)
+    try:
+        torch.manual_seed(seed)
+        return ref_temporal.TemporalMapUnet(
+            horizon=16, transition_dim=7, attention=False, dim=dim,
+            dim_mults=(1, 2, 4, 8), use_cond=RefGuidance[use_cond_name],
+        ).eval()
+    finally:
+        ref_temporal.resnet34 = orig
+
+
+def test_cfg_sampling_loop_parity(rng):
+    """Dual-batch CFG sampling: torch-oracle per step vs the fused sampler
+    (the free_guidance.yaml flagship path, reference interact.py:133-144)."""
+    tmodel = _build_ref_model("FREE_GUIDANCE", dim=16)
+    cfg = create_cfg()
+    cfg.MODEL.DIM = 16
+    cfg.TRAIN.USE_COND = "FREE_GUIDANCE"
+    cfg.GUIDANCE.USE_COND = "FREE_GUIDANCE"
+    cfg.GUIDANCE.FREE_SCALE = 7.5
+    cfg.EVAL.SAMPLE_STEPS = 5
+    jmodel = build_model(cfg, dtype=jnp.float32)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    ts, prev_ts = leading_timesteps(100, 5)
+
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    target = rng.standard_normal((1, 2)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    # reference dual-batch cond: [target; zeros] (interact.py:119-127)
+    cond_t = torch.from_numpy(np.concatenate([target, np.zeros_like(target)], axis=0))
+
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    with torch.inference_mode():
+        for t, prev_t in zip(ts, prev_ts):
+            x2 = torch.from_numpy(np.concatenate([trajs, trajs], axis=0))
+            out_cond, out_uncond = tmodel(
+                x2, img_t, torch.tensor([float(t)]), cond=cond_t
+            ).chunk(2, dim=0)
+            out = (out_uncond + 7.5 * (out_cond - out_uncond)).numpy()
+            nxt, _ = ddim_step(
+                schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
+                jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+            )
+            trajs = np.array(nxt)
+            trajs[:, 0, :3] = 0.0
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+
+    scfg = SamplerConfig(
+        guidance=GuidanceType.FREE_GUIDANCE, scheduler="ddim", num_steps=5,
+        step=step_cfg, free_scale=7.5,
+    )
+    sample = jax.jit(make_sampler(jmodel, schedule, scfg))
+    got = np.asarray(
+        sample(variables, jnp.asarray(init), image=jnp.asarray(img), target=jnp.asarray(target))
+    )
+    np.testing.assert_allclose(got, expected, atol=5e-3, rtol=1e-3)
+
+
+def test_classifier_sampling_loop_parity(rng):
+    """Classifier-guided sampling: torch oracle (model + reference GuidanceLoss
+    autograd) per step vs our fused sampler with jax.grad guidance
+    (reference interact.py:145-160 + guidance_ddim_scheduler.py:89-92)."""
+    from control.guidance import GuidanceLoss as RefGuidanceLoss
+
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import ddim_variance
+
+    tmodel = _build_ref_model("CLASSIFIER_GUIDANCE", dim=64)
+    cfg = create_cfg()
+    cfg.MODEL.DIM = 64
+    cfg.TRAIN.USE_COND = "CLASSIFIER_GUIDANCE"
+    cfg.GUIDANCE.USE_COND = "CLASSIFIER_GUIDANCE"
+    cfg.GUIDANCE.CLASSIFIER_SCALE = 15.0
+    cfg.GUIDANCE.LOSS_LIST = [["TargetGuidance", []]]
+    cfg.EVAL.SAMPLE_STEPS = 2
+    jmodel = build_model(cfg, dtype=jnp.float32)
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+    ref_guidance = RefGuidanceLoss(cfg)
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    ts, prev_ts = leading_timesteps(100, 2)
+
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    target = rng.standard_normal((1, 2)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    for t, prev_t in zip(ts, prev_ts):
+        # torch forward with grads enabled through state_pred (interact.py:145-160)
+        action, time_embed = tmodel(
+            torch.from_numpy(trajs), img_t, torch.tensor([float(t)]),
+            return_action_and_time_only=True,
+        )
+        action = action.detach().requires_grad_()
+        state = tmodel.state_pred(action[:, :-1], time_embed.detach())
+        state = torch.cat([torch.zeros_like(state[:, :1]), state], dim=1)
+        model_output = torch.cat([state, action], dim=-1)
+        variance = float(ddim_variance(schedule, jnp.asarray(int(t)), jnp.asarray(int(prev_t))))
+        model_std = float(np.exp(0.5 * variance))
+        guided = ref_guidance(
+            model_output, action, torch.from_numpy(target), model_std
+        ).detach().numpy()
+        nxt, _ = ddim_step(
+            schedule, step_cfg, jnp.asarray(guided), jnp.asarray(int(t)),
+            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        )
+        trajs = np.array(nxt)
+        trajs[:, 0, :3] = 0.0
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+
+    scfg = SamplerConfig(
+        guidance=GuidanceType.CLASSIFIER_GUIDANCE, scheduler="ddim", num_steps=2,
+        step=step_cfg, classifier_scale=15.0, guidance_step=1,
+        loss_list=[["TargetGuidance", []]],
+    )
+    sample = jax.jit(make_sampler(jmodel, schedule, scfg))
+    got = np.asarray(
+        sample(variables, jnp.asarray(init), image=jnp.asarray(img), target=jnp.asarray(target))
+    )
+    np.testing.assert_allclose(got, expected, atol=5e-3, rtol=1e-3)
+
+
 def test_strict_mode_matches_too(pair, rng):
     """Strict (per-step perception) execution mode gives the same loop result."""
     tmodel, jmodel, variables, cfg = pair
