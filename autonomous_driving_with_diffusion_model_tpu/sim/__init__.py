@@ -22,6 +22,14 @@ from .criteria import (
     RunStopSign,
 )
 from .expert import ExpertPID, LocalPlanner, RoadOption, expert_control
+from .obs import (
+    ActorState,
+    control_obs,
+    object_finder_obs,
+    process_obs,
+    speed_obs,
+    velocity_obs,
+)
 from .reward import (
     ValeoActionReward,
     desired_speed_from_hazards,
@@ -62,4 +70,10 @@ __all__ = [
     "LocalPlanner",
     "RoadOption",
     "expert_control",
+    "ActorState",
+    "speed_obs",
+    "control_obs",
+    "velocity_obs",
+    "object_finder_obs",
+    "process_obs",
 ]
