@@ -146,10 +146,41 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
         loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
         return loss, mutated["batch_stats"]
 
+    accum_steps = int(cfg.TRAIN.GRADIENT_ACCUMULATION_STEPS)
+
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
-        )
+        """One optimizer step. With GRADIENT_ACCUMULATION_STEPS > 1 the batch's
+        leading dim is split into that many micro-batches scanned sequentially,
+        averaging gradients before the update (reference: train.py:120,236 via
+        accelerate.accumulate)."""
+        if accum_steps <= 1:
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng
+            )
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, accum_steps)
+
+            def accum_body(carry, xs):
+                grads_acc, loss_acc, stats = carry
+                mb, r = xs
+                (loss_i, stats), grads_i = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, stats, mb, r
+                )
+                grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads_i)
+                return (grads_acc, loss_acc + loss_i, stats), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, new_stats), _ = jax.lax.scan(
+                accum_body,
+                (zero_grads, jnp.asarray(0.0, jnp.float32), state.batch_stats),
+                (micro, rngs),
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
         grads = _nan_scrub(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

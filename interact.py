@@ -61,11 +61,11 @@ def main():
                 "No `carla` package available. Install the CARLA client wheel and "
                 "set CARLA_SH_PATH, or run with --fake-env for a simulator-free demo."
             ) from exc
-        raise SystemExit(
-            "Live CARLA env wiring requires the carla_gym environment "
-            "(see autonomous_driving_with_diffusion_model_tpu/sim/): point this CLI "
-            "at your env factory or use --fake-env."
-        )
+        from autonomous_driving_with_diffusion_model_tpu.sim import create_env, create_server
+
+        env_config = {"factory": "carla_roach", "port": 2000}
+        server = create_server(env_config, off_screen=False)
+        env = create_env(env_config, seed=args.seed or 0)
 
     planner = DiffusionPlanner(cfg, seed=args.seed or 0)
     agent = InteractAgent(cfg, env, planner=planner, bev_save_path=args.save_bev_path)

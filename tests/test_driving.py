@@ -136,6 +136,22 @@ def test_interact_agent_with_free_guidance():
     assert control.shape == (3,)
 
 
+def test_interact_agent_2dim_model_pid_path():
+    """TRANSITION_DIM=2 waypoint-only model: control comes from the PID
+    controller over the first 4 waypoints (reference: interact.py:298-307)."""
+    cfg = tiny_cfg("NO_GUIDANCE")
+    cfg.MODEL.TRANSITION_DIM = 2
+    env = FakeDrivingEnv(image_hw=(32, 48), bev_hw=(64, 64))
+    frames = []
+    agent = InteractAgent(cfg, env, on_frame=lambda s, t, c: frames.append((t, c)))
+    agent.run(max_steps=3)
+    traj, control = frames[-1]
+    assert traj.shape == (1, 16, 2)
+    assert control.shape == (3,)
+    assert np.isfinite(control).all()
+    assert 0.0 <= control[0] <= cfg.CONTROL.MAX_THROTTLE  # PID throttle clip
+
+
 def test_leaderboard_agent_run_step(tmp_path, rng):
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(

