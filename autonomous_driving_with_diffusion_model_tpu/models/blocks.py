@@ -53,11 +53,13 @@ class Conv1d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         cin = x.shape[-1]
         init_w, init_b = _torch_conv_init(self.kernel_size, cin)
         w = self.param("weight", init_w, (self.kernel_size, cin, self.features))
         b = self.param("bias", init_b, (self.features,)) if self.use_bias else None
+        if return_params:  # fused-kernel callers fetch raw params, no compute
+            return w, b
         return conv1d(x.astype(self.dtype), w, b, self.stride, self.padding)
 
 
@@ -69,13 +71,15 @@ class Dense(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         cin = x.shape[-1]
         init_w, init_b = _torch_conv_init(1, cin)
         w = self.param("weight", init_w, (cin, self.features))
+        b = self.param("bias", init_b, (self.features,)) if self.use_bias else None
+        if return_params:
+            return w, b
         y = jnp.matmul(x.astype(self.dtype), w.astype(self.dtype))
-        if self.use_bias:
-            b = self.param("bias", init_b, (self.features,))
+        if b is not None:
             y = y + b.astype(y.dtype)
         return y
 
@@ -95,13 +99,15 @@ class Conv1dBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         cin = x.shape[-1]
         init_w, init_b = _torch_conv_init(self.kernel_size, cin)
         w = self.param("weight", init_w, (self.kernel_size, cin, self.features))
         b = self.param("bias", init_b, (self.features,))
         gamma = self.param("norm_weight", nn.initializers.ones, (self.features,))
         beta = self.param("norm_bias", nn.initializers.zeros, (self.features,))
+        if return_params:
+            return w, b, gamma, beta
         if self.use_pallas:
             from ..ops.pallas_kernels import fused_conv1d_gn_mish
 
@@ -189,20 +195,34 @@ class ResidualTemporalMapBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t):
         cin = x.shape[-1]
-        out = Conv1dBlock(
-            self.features, self.kernel_size, dtype=self.dtype, use_pallas=self.use_pallas,
-            name="block1",
-        )(x)
-        t_bias = Dense(self.features, dtype=self.dtype, name="time_mlp")(mish(t))
+        block1 = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype, name="block1")
+        block2 = Conv1dBlock(self.features, self.kernel_size, dtype=self.dtype, name="block2")
+        time_mlp = Dense(self.features, dtype=self.dtype, name="time_mlp")
+        res_conv = (
+            Conv1d(self.features, 1, dtype=self.dtype, name="residual_conv")
+            if cin != self.features
+            else None
+        )
+        if self.use_pallas:
+            # whole residual block as one fused Pallas kernel (same params)
+            from ..ops.pallas_kernels import fused_residual_block
+
+            w1, b1, g1, be1 = block1(x, return_params=True)
+            dummy_h = jnp.zeros((1, 1, self.features), self.dtype)
+            w2, b2, g2, be2 = block2(dummy_h, return_params=True)
+            tw, tb = time_mlp(t, return_params=True)
+            wres = bres = None
+            if res_conv is not None:
+                wres, bres = res_conv(x, return_params=True)
+            return fused_residual_block(
+                x.astype(self.dtype), t.astype(self.dtype),
+                w1, b1, g1, be1, tw, tb, w2, b2, g2, be2, wres, bres,
+            )
+        out = block1(x)
+        t_bias = time_mlp(mish(t))
         out = out + t_bias[:, None, :]
-        out = Conv1dBlock(
-            self.features, self.kernel_size, dtype=self.dtype, use_pallas=self.use_pallas,
-            name="block2",
-        )(out)
-        if cin != self.features:
-            res = Conv1d(self.features, 1, dtype=self.dtype, name="residual_conv")(x)
-        else:
-            res = x
+        out = block2(out)
+        res = res_conv(x) if res_conv is not None else x
         return out + res
 
 

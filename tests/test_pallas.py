@@ -8,6 +8,63 @@ from autonomous_driving_with_diffusion_model_tpu.ops import conv1d, group_norm, 
 from autonomous_driving_with_diffusion_model_tpu.ops.pallas_kernels import fused_conv1d_gn_mish
 
 
+def test_fused_residual_block_matches_flax(rng):
+    """Pallas ResidualTemporalMapBlock == the XLA composite, same params."""
+    import jax
+
+    from autonomous_driving_with_diffusion_model_tpu.models.blocks import (
+        ResidualTemporalMapBlock,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.ops.pallas_kernels import (
+        fused_residual_block,
+    )
+
+    for cin, cout in [(7, 32), (32, 32)]:
+        x = jnp.asarray(rng.standard_normal((2, 16, cin)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((2, 24)), jnp.float32)
+        mod = ResidualTemporalMapBlock(cout)
+        variables = mod.init(jax.random.PRNGKey(0), x, t)
+        ref = mod.apply(variables, x, t)
+        p = variables["params"]
+        wres = p["residual_conv"]["weight"] if cin != cout else None
+        bres = p["residual_conv"]["bias"] if cin != cout else None
+        out = fused_residual_block(
+            x, t,
+            p["block1"]["weight"], p["block1"]["bias"],
+            p["block1"]["norm_weight"], p["block1"]["norm_bias"],
+            p["time_mlp"]["weight"], p["time_mlp"]["bias"],
+            p["block2"]["weight"], p["block2"]["bias"],
+            p["block2"]["norm_weight"], p["block2"]["norm_bias"],
+            wres, bres, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_fused_residual_block_via_model_flag(rng):
+    """use_pallas=True through the module produces the same params + output."""
+    import jax
+
+    from autonomous_driving_with_diffusion_model_tpu.models.blocks import (
+        ResidualTemporalMapBlock,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 7)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((1, 24)), jnp.float32)
+    plain = ResidualTemporalMapBlock(16)
+    variables = plain.init(jax.random.PRNGKey(0), x, t)
+    import flax
+
+    fused = ResidualTemporalMapBlock(16, use_pallas=True)
+    v2 = fused.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)  # identical tree
+    # kernels auto-interpret on the CPU test backend
+    out_fused = fused.apply(variables, x, t)
+    out_plain = plain.apply(variables, x, t)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_plain), atol=3e-5, rtol=1e-4
+    )
+
+
 @pytest.mark.parametrize("cin,cout", [(7, 64), (64, 64), (128, 256)])
 def test_fused_conv_block_matches_composite(rng, cin, cout):
     x = jnp.asarray(rng.standard_normal((2, 16, cin)), jnp.float32)
