@@ -1,0 +1,425 @@
+"""Native CARLA driving environment adapter.
+
+A slim, first-party replacement for the vendored carla-roach gym stack
+(reference: carla_gym/carla_multi_agent_env.py + obs managers + handlers):
+connects straight to the CARLA RPC client, runs synchronous 10 fps ticks
+(carla_multi_agent_env.py:269-276), spawns the agent sensor suite
+(diffusion_agent.py:126-177 geometry), and composes the framework's *tested*
+pure-logic modules — ``sim.obs`` for observations, ``sim.criteria`` for
+infractions, ``sim.expert`` for the autopilot, ``sim.reward``/``sim.terminal``
+for RL signals, ``sim.weather`` for dynamic weather — into the standard
+obs-dict env contract (see ``driving.fake_env`` for the schema).
+
+Requires the ``carla`` client wheel; everything here is an adapter over the
+simulator's actor/map objects — the decision logic lives in the unit-tested
+modules above. Exercised in deployments with a CARLA server (no simulator
+ships in this image).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import weakref
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..driving.scoring import EpisodeCounters
+from .criteria import Blocked, CollisionTracker, RouteDeviation
+from .expert import LocalPlanner
+from .obs import ActorState, control_obs, object_finder_obs, process_obs, speed_obs, velocity_obs
+from .reward import ValeoActionReward, desired_speed_from_hazards, lbc_hazard_vehicle, lbc_hazard_walker
+from .terminal import ValeoTerminal
+from .weather import DynamicWeather
+
+log = logging.getLogger(__name__)
+
+__all__ = ["CarlaDrivingEnv"]
+
+SENSOR_SPECS = dict(
+    camera=dict(x=-1.5, y=0.0, z=2.0, pitch=0.0, width=900, height=256, fov=100),
+    bev=dict(x=0.0, y=0.0, z=50.0, pitch=-90.0, width=512, height=512, fov=50),
+)
+
+
+class _SensorQueue:
+    """Frame-synced sensor buffer (reference: obs_manager/camera/rgb.py:135-156)."""
+
+    def __init__(self, sensor):
+        self.sensor = sensor
+        self.queue: "queue.Queue" = queue.Queue()
+        sensor.listen(self.queue.put)
+
+    def get(self, frame: int, timeout: float = 10.0):
+        while True:
+            data = self.queue.get(timeout=timeout)
+            if data.frame >= frame:
+                return data
+
+    def destroy(self):
+        try:
+            self.sensor.stop()
+            self.sensor.destroy()
+        except RuntimeError:  # already gone with the world
+            pass
+
+
+def _image_to_rgb(image) -> np.ndarray:
+    arr = np.frombuffer(image.raw_data, dtype=np.uint8).reshape(
+        (image.height, image.width, 4)
+    )
+    return arr[:, :, :3][:, :, ::-1].copy()  # BGRA -> RGB
+
+
+class CarlaDrivingEnv:
+    """Endless-route single-ego env with the RlCameraWrapper obs contract."""
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 2000,
+        town: Optional[str] = None,
+        target_speed: float = 10.0,
+        fixed_delta: float = 0.1,
+        weather: str = "ClearNoon",
+        num_zombie_vehicles: int = 0,
+        seed: int = 0,
+        eval_mode: bool = False,
+    ):
+        import carla
+
+        self._carla = carla
+        self.rng = np.random.default_rng(seed)
+        self.target_speed = target_speed
+        self.fixed_delta = fixed_delta
+        self.weather_name = weather
+        self.num_zombie_vehicles = num_zombie_vehicles
+        self.eval_mode = eval_mode
+
+        self.client = carla.Client(host, port)
+        self.client.set_timeout(30.0)
+        if town is not None:
+            self.world = self.client.load_world(town)
+        else:
+            self.world = self.client.get_world()
+        self.map = self.world.get_map()
+
+        settings = self.world.get_settings()
+        settings.synchronous_mode = True
+        settings.fixed_delta_seconds = fixed_delta
+        self.world.apply_settings(settings)
+
+        self._route_planner = self._make_route_planner()
+        self._actors = []
+        self._sensors: Dict[str, _SensorQueue] = {}
+        self.ego = None
+        self._dynamic_weather: Optional[DynamicWeather] = None
+
+    # ------------------------------------------------------------- internals
+
+    def _make_route_planner(self):
+        """CARLA's own global route planner; API differs across versions."""
+        try:
+            from agents.navigation.global_route_planner import GlobalRoutePlanner
+
+            try:  # >= 0.9.12
+                return GlobalRoutePlanner(self.map, sampling_resolution=1.0)
+            except TypeError:  # 0.9.10/0.9.11 DAO API
+                from agents.navigation.global_route_planner_dao import (
+                    GlobalRoutePlannerDAO,
+                )
+
+                planner = GlobalRoutePlanner(GlobalRoutePlannerDAO(self.map, 1.0))
+                planner.setup()
+                return planner
+        except ImportError:
+            log.warning("carla agents package unavailable; straight-line routes only")
+            return None
+
+    def _trace_route(self, start_loc, end_loc):
+        if self._route_planner is None:
+            n = 200
+            pts = np.linspace(
+                [start_loc.x, start_loc.y], [end_loc.x, end_loc.y], n
+            )
+            return [((float(x), float(y)), 4) for x, y in pts]
+        route = self._route_planner.trace_route(start_loc, end_loc)
+        return [
+            ((wp.transform.location.x, wp.transform.location.y), int(opt.value))
+            for wp, opt in route
+        ]
+
+    def _spawn_ego(self):
+        carla = self._carla
+        bp = self.world.get_blueprint_library().find("vehicle.lincoln.mkz2017")
+        bp.set_attribute("role_name", "hero")
+        spawn_points = self.map.get_spawn_points()
+        idx = int(self.rng.integers(len(spawn_points)))
+        self.ego = self.world.spawn_actor(bp, spawn_points[idx])
+        self._actors.append(self.ego)
+
+        def cam(spec_name):
+            spec = SENSOR_SPECS[spec_name]
+            cam_bp = self.world.get_blueprint_library().find("sensor.camera.rgb")
+            cam_bp.set_attribute("image_size_x", str(spec["width"]))
+            cam_bp.set_attribute("image_size_y", str(spec["height"]))
+            cam_bp.set_attribute("fov", str(spec["fov"]))
+            tf = carla.Transform(
+                carla.Location(x=spec["x"], y=spec["y"], z=spec["z"]),
+                carla.Rotation(pitch=spec["pitch"]),
+            )
+            sensor = self.world.spawn_actor(cam_bp, tf, attach_to=self.ego)
+            self._actors.append(sensor)
+            return _SensorQueue(sensor)
+
+        self._sensors["camera"] = cam("camera")
+        self._sensors["bev"] = cam("bev")
+
+        imu_bp = self.world.get_blueprint_library().find("sensor.other.imu")
+        imu = self.world.spawn_actor(imu_bp, carla.Transform(), attach_to=self.ego)
+        self._actors.append(imu)
+        self._sensors["imu"] = _SensorQueue(imu)
+
+        col_bp = self.world.get_blueprint_library().find("sensor.other.collision")
+        col = self.world.spawn_actor(col_bp, carla.Transform(), attach_to=self.ego)
+        self._actors.append(col)
+        weak = weakref.ref(self)
+        col.listen(lambda event: _on_collision(weak, event))
+        self._collision_sensor = col
+
+    def _new_route(self):
+        spawn_points = self.map.get_spawn_points()
+        dest = spawn_points[int(self.rng.integers(len(spawn_points)))].location
+        self.route = self._trace_route(self.ego.get_location(), dest)
+        self._route_idx = 0
+
+    def _set_weather(self):
+        carla = self._carla
+        if "dynamic" in self.weather_name:
+            self._dynamic_weather = DynamicWeather.from_config_name(
+                self.weather_name, rng=self.rng
+            )
+        elif hasattr(carla.WeatherParameters, self.weather_name):
+            self.world.set_weather(getattr(carla.WeatherParameters, self.weather_name))
+
+    def _tick_weather(self):
+        if self._dynamic_weather is None:
+            return
+        params = self._dynamic_weather.tick(self.fixed_delta)
+        w = self.world.get_weather()
+        for k, v in params.items():
+            setattr(w, k, v)
+        self.world.set_weather(w)
+
+    # ------------------------------------------------------------ public api
+
+    def reset(self) -> Dict:
+        self.close_actors()
+        self._spawn_ego()
+        self._set_weather()
+        self.world.tick()
+        self._new_route()
+
+        self.expert = LocalPlanner(target_speed=self.target_speed)
+        self.collision = CollisionTracker()
+        self.blocked = Blocked()
+        self.route_dev = RouteDeviation()
+        self.reward_fn = ValeoActionReward()
+        self.terminal = ValeoTerminal(eval_mode=self.eval_mode)
+        self.counters = EpisodeCounters()
+        self.sim_time = 0.0
+        self.steps = 0
+        self._last_control = np.zeros(3)
+        return self._observe()
+
+    def _route_progress(self):
+        """Pop passed waypoints; return (cur_wp, next_wp, next_command)."""
+        pos = self.ego.get_location()
+        pos_xy = np.array([pos.x, pos.y])
+        while (
+            self._route_idx + 2 < len(self.route)
+            and np.linalg.norm(np.asarray(self.route[self._route_idx][0]) - pos_xy) < 5.0
+        ):
+            self._route_idx += 1
+        if self._route_idx + 10 > len(self.route):  # endless: extend the route
+            self._new_route()
+        cur = self.route[self._route_idx]
+        nxt = self.route[min(self._route_idx + 1, len(self.route) - 1)]
+        return cur, nxt
+
+    def _surrounding(self, kind: str):
+        actors = []
+        for actor in self.world.get_actors().filter(f"*{kind}*"):
+            if self.ego is not None and actor.id == self.ego.id:
+                continue
+            loc = actor.get_location()
+            rot = actor.get_transform().rotation
+            vel = actor.get_velocity()
+            actors.append(
+                ActorState(
+                    actor_id=actor.id,
+                    location=(loc.x, loc.y, loc.z),
+                    rotation=(rot.roll, rot.pitch, rot.yaw),
+                    velocity=(vel.x, vel.y, vel.z),
+                )
+            )
+        return actors
+
+    def _at_red_light(self) -> bool:
+        if not self.ego.is_at_traffic_light():
+            return False
+        state = self.ego.get_traffic_light().get_state()
+        # red OR yellow, like traffic_light_new.py:29-43
+        return state in (
+            self._carla.TrafficLightState.Red,
+            self._carla.TrafficLightState.Yellow,
+        )
+
+    def _observe(self) -> Dict:
+        frame = self.world.get_snapshot().frame
+        camera = _image_to_rgb(self._sensors["camera"].get(frame))
+        bev = _image_to_rgb(self._sensors["bev"].get(frame))
+        imu = self._sensors["imu"].get(frame)
+        compass = float(imu.compass)
+
+        tf = self.ego.get_transform()
+        vel = self.ego.get_velocity()
+        control = self.ego.get_control()
+        fwd = tf.get_forward_vector()
+        acc = self.ego.get_acceleration()
+        ang = self.ego.get_angular_velocity()
+
+        cur, nxt = self._route_progress()
+        raw = {
+            "speed": speed_obs((vel.x, vel.y, vel.z), (fwd.x, fwd.y, fwd.z), tf.rotation.yaw),
+            "control": control_obs(
+                control.throttle, control.steer, control.brake, control.gear
+            ),
+            "velocity": velocity_obs(
+                (vel.x, vel.y, vel.z), (acc.x, acc.y, acc.z), ang.z, tf.rotation.yaw
+            ),
+            "camera": {"data": camera, "bev_data": bev, "compass": [[compass]]},
+            "traffic_light": {"at_red_light": [int(self._at_red_light())]},
+            "cur_waypoint": np.asarray([[tf.location.x, tf.location.y]]),
+            "target_waypoint": np.asarray(nxt[0]),
+            "next_waypoint": np.asarray([nxt[0]]),
+            "next_command": nxt[1],
+        }
+        return process_obs(raw, ["yaw", "speed_norm", "control", "vel_xy"], train=False)
+
+    def _expert_control(self) -> np.ndarray:
+        tf = self.ego.get_transform()
+        vel = self.ego.get_velocity()
+        speed = float(np.hypot(vel.x, vel.y))
+        ego_loc = (tf.location.x, tf.location.y, tf.location.z)
+
+        vehicles = object_finder_obs(ego_loc, tf.rotation.yaw, self._surrounding("vehicle"))
+        walkers = object_finder_obs(ego_loc, tf.rotation.yaw, self._surrounding("walker"))
+        hazard = (
+            lbc_hazard_vehicle(vehicles) is not None
+            or lbc_hazard_walker(walkers) is not None
+            or self._at_red_light()
+        )
+        if hazard:
+            return np.array([0.0, 0.0, 1.0])
+        route_ahead = self.route[self._route_idx :]
+        throttle, steer, brake = self.expert.run_step(
+            route_ahead, (tf.location.x, tf.location.y), tf.rotation.yaw, speed
+        )
+        return np.array([throttle, steer, brake])
+
+    def step(self, control_dict: Dict):
+        carla = self._carla
+        control = control_dict[0]
+        if control is None:
+            control = self._expert_control()
+        control = np.asarray(control, np.float64)
+        self.ego.apply_control(
+            carla.VehicleControl(
+                throttle=float(np.clip(control[0], 0, 1)),
+                steer=float(np.clip(control[1], -1, 1)),
+                brake=float(np.clip(control[2], 0, 1)),
+            )
+        )
+        self.world.tick()
+        self._tick_weather()
+        self.sim_time += self.fixed_delta
+        self.steps += 1
+
+        obs = self._observe()
+
+        # criteria + terminal over tested pure logic
+        tf = self.ego.get_transform()
+        vel = self.ego.get_velocity()
+        speed = float(np.hypot(vel.x, vel.y))
+        ev_loc = (tf.location.x, tf.location.y, tf.location.z)
+        info_col = self.collision.tick(ev_loc, self.sim_time)
+        if info_col is not None:
+            kind = info_col["collision_type"]
+            if kind == CollisionTracker.TYPE_VEHICLE:
+                self.counters.collisions_vehicle += 1
+            elif kind == CollisionTracker.TYPE_PEDESTRIAN:
+                self.counters.collisions_pedestrian += 1
+            elif kind == CollisionTracker.TYPE_STATIC:
+                self.counters.collisions_layout += 1
+            else:
+                self.counters.collisions_others += 1
+        info_blocked = self.blocked.tick(speed, self.sim_time, self.steps, ev_loc)
+        if info_blocked is not None:
+            self.counters.vehicle_blocked += 1
+
+        cur, nxt = self._route_progress()
+        wp_xy = np.asarray(cur[0])
+        done, timeout, terminal_reward, _ = self.terminal.get(
+            self.sim_time, ev_loc, speed, wp_xy, tf.rotation.yaw, np.asarray(nxt[0]),
+            info_blocked, None, info_col, None,
+        )
+        desired = desired_speed_from_hazards()
+        reward, _ = self.reward_fn.get(
+            speed, ev_loc, tf.rotation.yaw, float(control[1]), wp_xy, tf.rotation.yaw,
+            desired, terminal_reward,
+        )
+        return obs, reward, done, {"counters": self.counters, "timeout": timeout}
+
+    def close_actors(self):
+        for s in self._sensors.values():
+            s.destroy()
+        self._sensors.clear()
+        if getattr(self, "_collision_sensor", None) is not None:
+            try:
+                self._collision_sensor.stop()
+                self._collision_sensor.destroy()
+            except RuntimeError:
+                pass
+            self._collision_sensor = None
+        for a in self._actors:
+            try:
+                a.destroy()
+            except RuntimeError:
+                pass
+        self._actors.clear()
+        self.ego = None
+
+    def close(self):
+        self.close_actors()
+        settings = self.world.get_settings()
+        settings.synchronous_mode = False
+        settings.fixed_delta_seconds = None
+        self.world.apply_settings(settings)
+
+
+def _on_collision(weak_env, event):
+    env = weak_env()
+    if env is None:
+        return
+    loc = event.actor.get_transform().location
+    impulse = event.normal_impulse
+    env.collision.on_collision(
+        (loc.x, loc.y, loc.z),
+        event.other_actor.id,
+        event.other_actor.type_id,
+        (impulse.x, impulse.y, impulse.z),
+        event.frame,
+        event.timestamp,
+    )

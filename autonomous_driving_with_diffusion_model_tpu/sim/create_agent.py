@@ -36,6 +36,22 @@ def _fake_env_factory(env_config, seed: int = 0):
     return FakeDrivingEnv(seed=seed)
 
 
+@register_env_factory("carla_native")
+def _carla_native_factory(env_config, seed: int = 0):
+    """First-party CARLA adapter (sim/carla_env.py) — no carla_gym needed."""
+    from .carla_env import CarlaDrivingEnv
+
+    return CarlaDrivingEnv(
+        host=env_config.get("host", "localhost"),
+        port=env_config.get("port", 2000),
+        town=env_config.get("town"),
+        target_speed=env_config.get("target_speed", 10.0),
+        weather=env_config.get("weather", "ClearNoon"),
+        seed=seed,
+        eval_mode=env_config.get("eval_mode", False),
+    )
+
+
 @register_env_factory("carla_roach")
 def _carla_roach_factory(env_config, seed: int = 0):
     """The reference stack: requires the carla package + a carla_gym install

@@ -1,0 +1,236 @@
+"""Minimal mock of the `carla` client API — enough to drive
+sim/carla_env.CarlaDrivingEnv through reset/step/observe without a simulator.
+Vehicle kinematics are a simple unicycle so expert control visibly moves it.
+"""
+
+from types import SimpleNamespace
+
+import numpy as np
+
+
+class Location:
+    def __init__(self, x=0.0, y=0.0, z=0.0):
+        self.x, self.y, self.z = float(x), float(y), float(z)
+
+    def distance(self, other):
+        return float(
+            np.linalg.norm([self.x - other.x, self.y - other.y, self.z - other.z])
+        )
+
+
+class Rotation:
+    def __init__(self, pitch=0.0, yaw=0.0, roll=0.0):
+        self.pitch, self.yaw, self.roll = float(pitch), float(yaw), float(roll)
+
+
+class Transform:
+    def __init__(self, location=None, rotation=None):
+        self.location = location or Location()
+        self.rotation = rotation or Rotation()
+
+    def get_forward_vector(self):
+        yaw = np.deg2rad(self.rotation.yaw)
+        return SimpleNamespace(x=float(np.cos(yaw)), y=float(np.sin(yaw)), z=0.0)
+
+
+class VehicleControl:
+    def __init__(self, throttle=0.0, steer=0.0, brake=0.0):
+        self.throttle, self.steer, self.brake = throttle, steer, brake
+        self.gear = 1
+
+
+class _Blueprint:
+    def __init__(self, bp_id):
+        self.id = bp_id
+        self.attrs = {}
+
+    def set_attribute(self, k, v):
+        self.attrs[k] = v
+
+
+class _BlueprintLibrary:
+    def find(self, bp_id):
+        return _Blueprint(bp_id)
+
+
+class _Vehicle:
+    _next_id = 1
+
+    def __init__(self, world, transform):
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.world = world
+        self.transform = Transform(
+            Location(transform.location.x, transform.location.y, transform.location.z),
+            Rotation(yaw=transform.rotation.yaw),
+        )
+        self.speed = 0.0
+        self.control = VehicleControl()
+        self.type_id = "vehicle.lincoln.mkz2017"
+        self.alive = True
+
+    # --- carla.Vehicle surface
+    def get_location(self):
+        return self.transform.location
+
+    def get_transform(self):
+        return self.transform
+
+    def get_velocity(self):
+        yaw = np.deg2rad(self.transform.rotation.yaw)
+        return SimpleNamespace(
+            x=self.speed * np.cos(yaw), y=self.speed * np.sin(yaw), z=0.0
+        )
+
+    def get_acceleration(self):
+        return SimpleNamespace(x=0.0, y=0.0, z=0.0)
+
+    def get_angular_velocity(self):
+        return SimpleNamespace(x=0.0, y=0.0, z=0.0)
+
+    def get_control(self):
+        return self.control
+
+    def apply_control(self, control):
+        self.control = control
+
+    def is_at_traffic_light(self):
+        return False
+
+    def destroy(self):
+        self.alive = False
+
+    def _physics(self, dt):
+        c = self.control
+        accel = 4.0 * c.throttle - 8.0 * c.brake - 0.2 * self.speed
+        self.speed = max(0.0, self.speed + accel * dt)
+        self.transform.rotation.yaw += np.degrees(c.steer * self.speed * 0.2 * dt)
+        yaw = np.deg2rad(self.transform.rotation.yaw)
+        self.transform.location.x += self.speed * dt * np.cos(yaw)
+        self.transform.location.y += self.speed * dt * np.sin(yaw)
+
+
+class _Sensor:
+    def __init__(self, world, bp, parent):
+        self.world = world
+        self.bp = bp
+        self.parent = parent
+        self.callback = None
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.type_id = bp.id
+
+    def listen(self, cb):
+        self.callback = cb
+
+    def stop(self):
+        self.callback = None
+
+    def destroy(self):
+        pass
+
+    def _emit(self, frame):
+        if self.callback is None:
+            return
+        if self.bp.id == "sensor.camera.rgb":
+            h = int(self.bp.attrs.get("image_size_y", 64))
+            w = int(self.bp.attrs.get("image_size_x", 64))
+            raw = np.zeros((h, w, 4), np.uint8)
+            raw[..., :3] = 100
+            self.callback(
+                SimpleNamespace(frame=frame, height=h, width=w, raw_data=raw.tobytes())
+            )
+        elif self.bp.id == "sensor.other.imu":
+            yaw = np.deg2rad(self.parent.transform.rotation.yaw)
+            self.callback(SimpleNamespace(frame=frame, compass=float(yaw)))
+        # collision sensor: fired manually by tests
+
+
+class _ActorList(list):
+    def filter(self, pattern):
+        key = pattern.strip("*")
+        return _ActorList(a for a in self if key in a.type_id)
+
+
+class _Settings(SimpleNamespace):
+    pass
+
+
+class _World:
+    def __init__(self):
+        self.frame = 0
+        self.settings = _Settings(synchronous_mode=False, fixed_delta_seconds=None)
+        self.actors = _ActorList()
+        self.sensors = []
+        self.weather = SimpleNamespace()
+        self._map = _Map()
+
+    def get_settings(self):
+        return self.settings
+
+    def apply_settings(self, s):
+        self.settings = s
+
+    def get_map(self):
+        return self._map
+
+    def get_blueprint_library(self):
+        return _BlueprintLibrary()
+
+    def spawn_actor(self, bp, transform, attach_to=None):
+        if bp.id.startswith("vehicle"):
+            actor = _Vehicle(self, transform)
+            self.actors.append(actor)
+            return actor
+        sensor = _Sensor(self, bp, attach_to)
+        self.sensors.append(sensor)
+        self.actors.append(sensor)
+        return sensor
+
+    def tick(self):
+        self.frame += 1
+        dt = self.settings.fixed_delta_seconds or 0.1
+        for a in self.actors:
+            if isinstance(a, _Vehicle):
+                a._physics(dt)
+        for s in self.sensors:
+            s._emit(self.frame)
+        return self.frame
+
+    def get_snapshot(self):
+        return SimpleNamespace(frame=self.frame)
+
+    def get_actors(self):
+        return self.actors
+
+    def get_weather(self):
+        return self.weather
+
+    def set_weather(self, w):
+        self.weather = w
+
+
+class _Map:
+    def get_spawn_points(self):
+        return [
+            Transform(Location(x=float(i * 10), y=0.0), Rotation(yaw=0.0))
+            for i in range(10)
+        ]
+
+
+class Client:
+    def __init__(self, host, port):
+        self._world = _World()
+
+    def set_timeout(self, t):
+        pass
+
+    def get_world(self):
+        return self._world
+
+    def load_world(self, town):
+        return self._world
+
+
+WeatherParameters = SimpleNamespace(ClearNoon=SimpleNamespace())
+TrafficLightState = SimpleNamespace(Red="Red", Yellow="Yellow", Green="Green")
