@@ -33,6 +33,7 @@ class RouteEvaluator:
         checkpoint_path: str,
         max_steps_per_route: int = 1000,
         counters_fn: Optional[Callable[[object], EpisodeCounters]] = None,
+        step_timeout: Optional[float] = None,
     ):
         """agent_factory() -> agent with ``compute_control(state)``;
         env_factory(route) -> env; routes: [{"id", "length_m", ...}].
@@ -44,6 +45,7 @@ class RouteEvaluator:
         self.checkpoint_path = checkpoint_path
         self.max_steps = max_steps_per_route
         self.counters_fn = counters_fn or (lambda env: EpisodeCounters())
+        self.step_timeout = step_timeout
 
     # ------------------------------------------------------------- checkpoint
 
@@ -84,13 +86,25 @@ class RouteEvaluator:
         completed_m = 0.0
         counters = EpisodeCounters()
         is_completed = False
+        watchdog = None
+        if self.step_timeout is not None:
+            from ..utils.watchdog import Watchdog
+
+            watchdog = Watchdog(timeout=self.step_timeout)
         try:
             env = self.env_factory(route)
             agent = self.agent_factory()
             state = env.reset()
+            if watchdog is not None:
+                watchdog.start()
             start = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
             pos = start
             while steps < self.max_steps:
+                if watchdog is not None:
+                    if not watchdog.get_status():
+                        status = "Failed - Agent timed out"
+                        break
+                    watchdog.update()
                 control = agent.compute_control(state)
                 result = env.step({0: control})
                 state = result[0]
@@ -106,6 +120,9 @@ class RouteEvaluator:
         except Exception:
             status = "Failed - Agent crashed"
             crash_message = traceback.format_exc(limit=3)
+        finally:
+            if watchdog is not None:
+                watchdog.stop()
 
         length_m = float(route.get("length_m", max(completed_m, 1.0)))
         stats = episode_stats(

@@ -97,12 +97,22 @@ class CarlaDrivingEnv:
         self.num_zombie_vehicles = num_zombie_vehicles
         self.eval_mode = eval_mode
 
-        self.client = carla.Client(host, port)
-        self.client.set_timeout(30.0)
-        if town is not None:
-            self.world = self.client.load_world(town)
+        # connect with retries (reference: carla_multi_agent_env.py:251-261)
+        last_exc = None
+        for attempt in range(3):
+            try:
+                self.client = carla.Client(host, port)
+                self.client.set_timeout(30.0)
+                if town is not None:
+                    self.world = self.client.load_world(town)
+                else:
+                    self.world = self.client.get_world()
+                break
+            except RuntimeError as exc:
+                last_exc = exc
+                log.warning("carla connect attempt %d failed: %s", attempt + 1, exc)
         else:
-            self.world = self.client.get_world()
+            raise RuntimeError(f"Could not connect to CARLA at {host}:{port}") from last_exc
         self.map = self.world.get_map()
 
         settings = self.world.get_settings()
@@ -188,6 +198,38 @@ class CarlaDrivingEnv:
         col.listen(lambda event: _on_collision(weak, event))
         self._collision_sensor = col
 
+    def _spawn_zombies(self, n: int):
+        """Background traffic on TM autopilot, spawned away from the ego
+        (reference: zombie_vehicle_handler.py:18-50)."""
+        if n <= 0:
+            return
+        lib = self.world.get_blueprint_library()
+        bps = list(lib.filter("vehicle.*")) if hasattr(lib, "filter") else [
+            lib.find("vehicle.lincoln.mkz2017")
+        ]
+        ego_loc = self.ego.get_location()
+        points = [
+            sp
+            for sp in self.map.get_spawn_points()
+            if sp.location.distance(ego_loc) >= 10.0
+        ]
+        self.rng.shuffle(points)
+        spawned = 0
+        for sp in points:
+            if spawned >= n:
+                break
+            bp = bps[int(self.rng.integers(len(bps)))]
+            try:
+                zombie = self.world.spawn_actor(bp, sp)
+            except RuntimeError:  # spawn collision
+                continue
+            self._actors.append(zombie)
+            try:
+                zombie.set_autopilot(True)
+            except (AttributeError, RuntimeError):
+                pass  # no traffic manager available
+            spawned += 1
+
     def _new_route(self):
         spawn_points = self.map.get_spawn_points()
         dest = spawn_points[int(self.rng.integers(len(spawn_points)))].location
@@ -217,6 +259,7 @@ class CarlaDrivingEnv:
     def reset(self) -> Dict:
         self.close_actors()
         self._spawn_ego()
+        self._spawn_zombies(self.num_zombie_vehicles)
         self._set_weather()
         self.world.tick()
         self._new_route()

@@ -69,6 +69,21 @@ def test_explicit_control_and_collision_termination(carla_env):
     assert reward < 0  # -1 - speed terminal penalty dominates
 
 
+def test_zombie_vehicles_spawned(monkeypatch):
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import CarlaDrivingEnv
+
+    env = CarlaDrivingEnv(seed=0, num_zombie_vehicles=3)
+    env.reset()
+    vehicles = env.world.get_actors().filter("*vehicle*")
+    assert len(vehicles) >= 3  # ego + zombies (away from the ego spawn)
+    # zombies appear in the object-finder obs feeding hazard predicates
+    others = env._surrounding("vehicle")
+    assert len(others) >= 2
+
+
 def test_close_restores_async(carla_env):
     carla_env.reset()
     carla_env.close()
