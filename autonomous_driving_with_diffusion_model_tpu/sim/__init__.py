@@ -9,6 +9,7 @@ any env exposing the RlCameraWrapper observation dict plugs into the agents
 and collector (see driving.fake_env for the contract).
 """
 
+from .birdview import BirdviewRenderer
 from .collector import DataCollector, count_current_saved, world_to_agent
 from .collect_loop import collect_loop
 from .create_agent import ENV_FACTORIES, create_env, create_server, register_env_factory
@@ -76,4 +77,5 @@ __all__ = [
     "velocity_obs",
     "object_finder_obs",
     "process_obs",
+    "BirdviewRenderer",
 ]
