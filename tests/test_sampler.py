@@ -101,6 +101,33 @@ def test_free_guidance_scale_one_equals_cond_path(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_ddim_eta_stochastic(rng):
+    """eta > 0 DDIM adds eta*sqrt(var)*noise (dead EVAL.ETA in the reference,
+    config.py:99 — live here): different rngs give different samples, same rng
+    reproduces."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import (
+        SamplerConfig,
+        StepConfig,
+        make_sampler,
+        make_schedule,
+    )
+
+    cfg = tiny_cfg("NO_GUIDANCE", "ddim", steps=3)
+    model, variables, img = setup_model(cfg, rng)
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    scfg = SamplerConfig(
+        scheduler="ddim", num_steps=3,
+        step=StepConfig(prediction_type="sample", clip_sample=True, eta=1.0),
+    )
+    sample = jax.jit(make_sampler(model, schedule, scfg))
+    init = jnp.asarray(rng.standard_normal((1, 16, 7)), jnp.float32)
+    a = np.asarray(sample(variables, init, image=img, rng=jax.random.PRNGKey(1)))
+    b = np.asarray(sample(variables, init, image=img, rng=jax.random.PRNGKey(2)))
+    c = np.asarray(sample(variables, init, image=img, rng=jax.random.PRNGKey(1)))
+    assert not np.allclose(a, b)  # stochastic across keys
+    np.testing.assert_array_equal(a, c)  # reproducible per key
+
+
 def test_training_eval_sampler(rng):
     """train.evaluate clone: DDPM, TIME_STEPS steps, no cond, no meters scale."""
     cfg = tiny_cfg("NO_GUIDANCE", "ddpm")
