@@ -86,12 +86,32 @@ class DiffusionPlanner:
                 # state_dict + EMA shadow overwrite (interact.py:102-108)
                 self.variables = load_torch_checkpoint(ckpt_path, cfg, use_ema=True)
             else:
-                from ..train import restore_orbax  # orbax TrainState dir
+                # native Orbax TrainState dir: params <- EMA shadow (the same
+                # eval-time EMA-overwrite semantics as the torch path)
+                from ..train import create_train_state, restore_orbax
 
-                raise NotImplementedError(
-                    "Orbax eval loading: use train.restore_orbax + EMA copy; "
-                    "pass a .pth for the reference path"
+                rng0 = np.random.default_rng(0)
+                x0 = jnp.asarray(
+                    rng0.standard_normal((1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)),
+                    jnp.float32,
                 )
+                img0 = jnp.asarray(
+                    rng0.standard_normal(
+                        (1, cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH, 3)
+                    ),
+                    jnp.float32,
+                )
+                abstract = self.model.init(
+                    jax.random.PRNGKey(0), x0, img=img0, time=jnp.asarray([1.0])
+                )
+                state = restore_orbax(
+                    str(ckpt_path),
+                    jax.tree.map(np.asarray, create_train_state(self.model, abstract, cfg)),
+                )
+                self.variables = {
+                    "params": state.ema.shadow_params,
+                    "batch_stats": state.batch_stats,
+                }
             self.variables = jax.tree.map(jnp.asarray, self.variables)
         else:
             rng = np.random.default_rng(seed)
