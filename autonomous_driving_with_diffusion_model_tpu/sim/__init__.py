@@ -10,6 +10,7 @@ and collector (see driving.fake_env for the contract).
 """
 
 from .birdview import BirdviewRenderer
+from .map_raster import LaneStrip, rasterize_map, save_h5, strips_from_carla_map
 from .collector import DataCollector, count_current_saved, world_to_agent
 from .collect_loop import collect_loop
 from .create_agent import ENV_FACTORIES, create_env, create_server, register_env_factory
@@ -78,4 +79,8 @@ __all__ = [
     "object_finder_obs",
     "process_obs",
     "BirdviewRenderer",
+    "LaneStrip",
+    "rasterize_map",
+    "save_h5",
+    "strips_from_carla_map",
 ]
