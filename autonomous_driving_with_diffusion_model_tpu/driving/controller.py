@@ -1,8 +1,10 @@
-"""Waypoint -> vehicle-control PID (reference: control/controller.py:6-76).
+"""Waypoint -> vehicle-control PID.
 
-Pure numpy; converts a planned 2-d waypoint sequence (ego frame, meters) into
-(throttle, steer, brake). Gains and thresholds come from cfg.PID / cfg.CONTROL
-(reference: config.py:67-86).
+Converts a planned 2-d waypoint sequence (ego frame, meters) into
+(throttle, steer, brake). Numerics must match the reference controller
+(reference: control/controller.py:29-76) for closed-loop parity; the
+aim-point search and desired-speed estimate are vectorized here. Gains and
+thresholds come from cfg.PID / cfg.CONTROL (reference: config.py:67-86).
 """
 
 from __future__ import annotations
@@ -14,61 +16,61 @@ from .pid import PIDController
 __all__ = ["Controller"]
 
 
+def _heading_deg90(vec) -> float:
+    """Angle from the +y (forward) axis in units of 90 degrees — the
+    reference's ``degrees(pi/2 - atan2(y, x)) / 90`` convention."""
+    return float(np.degrees(np.pi / 2 - np.arctan2(vec[1], vec[0])) / 90.0)
+
+
 class Controller:
     def __init__(self, cfg):
-        self.turn_controller = PIDController(
-            K_P=cfg.PID.TURN_KP, K_I=cfg.PID.TURN_KI, K_D=cfg.PID.TURN_KD, n=cfg.PID.TURN_N
-        )
+        pid = cfg.PID
+        ctl = cfg.CONTROL
+        self.turn_controller = PIDController(pid.TURN_KP, pid.TURN_KI, pid.TURN_KD, pid.TURN_N)
         self.speed_controller = PIDController(
-            K_P=cfg.PID.SPEED_KP, K_I=cfg.PID.SPEED_KI, K_D=cfg.PID.SPEED_KD, n=cfg.PID.SPEED_N
+            pid.SPEED_KP, pid.SPEED_KI, pid.SPEED_KD, pid.SPEED_N
         )
-        self.aim_dist = cfg.CONTROL.AIM_DIST
-        self.angle_thresh = cfg.CONTROL.ANGLE_THRESH
-        self.dist_thresh = cfg.CONTROL.DIST_THRESH
-        self.brake_speed = cfg.CONTROL.BRAKE_SPEED
-        self.brake_ratio = cfg.CONTROL.BRAKE_RATIO
-        self.clip_delta = cfg.CONTROL.CLIP_DELTA
-        self.max_throttle = cfg.CONTROL.MAX_THROTTLE
+        self.aim_dist = ctl.AIM_DIST
+        self.angle_thresh = ctl.ANGLE_THRESH
+        self.dist_thresh = ctl.DIST_THRESH
+        self.brake_speed = ctl.BRAKE_SPEED
+        self.brake_ratio = ctl.BRAKE_RATIO
+        self.clip_delta = ctl.CLIP_DELTA
+        self.max_throttle = ctl.MAX_THROTTLE
 
     def control_pid(self, waypoints, velocity, target):
         """waypoints: (N, 2) ego-frame meters; velocity: scalar m/s;
         target: (2,). Returns (throttle, steer, brake)."""
-        waypoints = np.asarray(waypoints, dtype=np.float64)
+        wps = np.asarray(waypoints, dtype=np.float64)
         target = np.asarray(target, dtype=np.float64)
 
-        num_pairs = len(waypoints) - 1
-        best_norm = 1e5
-        desired_speed = 0.0
-        aim = waypoints[0]
-        for i in range(num_pairs):
-            desired_speed += np.linalg.norm(waypoints[i + 1] - waypoints[i]) * 2.0 / num_pairs
-            norm = np.linalg.norm((waypoints[i + 1] + waypoints[i]) / 2.0)
-            if abs(self.aim_dist - best_norm) > abs(self.aim_dist - norm):
-                aim = waypoints[i]
-                best_norm = norm
+        # desired speed: twice the mean consecutive-waypoint spacing
+        seg = np.diff(wps, axis=0)
+        seg_norms = np.linalg.norm(seg, axis=1)
+        desired_speed = float(seg_norms.sum() * 2.0 / len(seg_norms))
 
-        aim_last = waypoints[-1] - waypoints[-2]
+        # aim point: the waypoint whose segment midpoint lies closest to
+        # AIM_DIST from the ego; ties resolve to the earliest index
+        mid_norms = np.linalg.norm((wps[1:] + wps[:-1]) / 2.0, axis=1)
+        gap = np.abs(self.aim_dist - mid_norms)
+        aim = wps[int(np.argmin(gap))]
 
-        angle = np.degrees(np.pi / 2 - np.arctan2(aim[1], aim[0])) / 90
-        angle_last = np.degrees(np.pi / 2 - np.arctan2(aim_last[1], aim_last[0])) / 90
-        angle_target = np.degrees(np.pi / 2 - np.arctan2(target[1], target[0])) / 90
+        angle = _heading_deg90(aim)
+        angle_last = _heading_deg90(wps[-1] - wps[-2])
+        angle_target = _heading_deg90(target)
 
-        use_target_to_aim = np.abs(angle_target) < np.abs(angle)
-        use_target_to_aim = use_target_to_aim or (
-            np.abs(angle_target - angle_last) > self.angle_thresh
+        steer_to_target = abs(angle_target) < abs(angle) or (
+            abs(angle_target - angle_last) > self.angle_thresh
             and target[1] < self.dist_thresh
         )
-        angle_final = angle_target if use_target_to_aim else angle
-
-        steer = self.turn_controller.step(angle_final)
-        steer = np.clip(steer, -1.0, 1.0)
+        steer = self.turn_controller.step(angle_target if steer_to_target else angle)
+        steer = float(np.clip(steer, -1.0, 1.0))
 
         speed = float(np.asarray(velocity).reshape(-1)[0])
-        brake = desired_speed < self.brake_speed or (speed / desired_speed) > self.brake_ratio
+        brake = bool(
+            desired_speed < self.brake_speed or speed / desired_speed > self.brake_ratio
+        )
 
-        delta = np.clip(desired_speed - speed, 0.0, self.clip_delta)
-        throttle = self.speed_controller.step(delta)
-        throttle = np.clip(throttle, 0.0, self.max_throttle)
-        throttle = throttle if not brake else 0.0
-
-        return throttle, steer, brake
+        delta = float(np.clip(desired_speed - speed, 0.0, self.clip_delta))
+        throttle = float(np.clip(self.speed_controller.step(delta), 0.0, self.max_throttle))
+        return (0.0 if brake else throttle), steer, brake
