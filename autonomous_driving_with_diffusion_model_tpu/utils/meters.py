@@ -1,47 +1,53 @@
-"""Training meters (reference: misc/meter.py:10-55)."""
+"""Training meters with the reference's logging surface
+(reference: misc/meter.py:10-55): running value/average per metric and a
+tab-joined ``val (avg)`` line for the train log.
+"""
 
-from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict
+
+__all__ = ["AverageMeter", "MetricMeter"]
 
 
+@dataclass
 class AverageMeter:
-    def __init__(self):
-        self.reset()
+    val: float = 0.0
+    sum: float = 0.0
+    count: int = 0
 
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
 
-    def update(self, val, n=1):
-        val = float(val)
-        self.val = val
-        self.sum += val * n
+    def reset(self) -> None:
+        self.val, self.sum, self.count = 0.0, 0.0, 0
+
+    def update(self, val, n: int = 1) -> None:
+        self.val = float(val)
+        self.sum += self.val * n
         self.count += n
-        self.avg = self.sum / self.count
 
 
 class MetricMeter:
-    def __init__(self, delimiter="\t"):
-        self.meters = defaultdict(AverageMeter)
+    def __init__(self, delimiter: str = "\t"):
+        self.meters: Dict[str, AverageMeter] = {}
         self.delimiter = delimiter
 
-    def update(self, input_dict):
+    def update(self, input_dict) -> None:
         if input_dict is None:
             return
         if not isinstance(input_dict, dict):
             raise TypeError("Input to MetricMeter.update() must be a dictionary")
-        for k, v in input_dict.items():
-            self.meters[k].update(float(v))
+        for key, value in input_dict.items():
+            self.meters.setdefault(key, AverageMeter()).update(float(value))
 
-    def __str__(self):
-        return self.delimiter.join(
-            f"{name} {meter.val:.4f} ({meter.avg:.4f})" for name, meter in self.meters.items()
-        )
+    def __str__(self) -> str:
+        parts = [f"{k} {m.val:.4f} ({m.avg:.4f})" for k, m in self.meters.items()]
+        return self.delimiter.join(parts)
 
-    def get_log_dict(self):
-        out = {}
-        for name, meter in self.meters.items():
-            out[name] = meter.val
-            out[f"avg_{name}"] = meter.avg
+    def get_log_dict(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for key, meter in self.meters.items():
+            out[key] = meter.val
+            out[f"avg_{key}"] = meter.avg
         return out
