@@ -40,6 +40,12 @@ from .reward import (
 )
 from .server_utils import CarlaServerManager, kill_carla
 from .terminal import ValeoTerminal
+from .traffic_lights import (
+    LaneObservation,
+    StopSignRegistry,
+    TrafficLightRegistry,
+    lane_observation,
+)
 from .weather import DynamicWeather, Storm, Sun
 
 __all__ = [
@@ -78,6 +84,10 @@ __all__ = [
     "velocity_obs",
     "object_finder_obs",
     "process_obs",
+    "TrafficLightRegistry",
+    "StopSignRegistry",
+    "LaneObservation",
+    "lane_observation",
     "BirdviewRenderer",
     "LaneStrip",
     "rasterize_map",

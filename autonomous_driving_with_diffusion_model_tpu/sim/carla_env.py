@@ -25,12 +25,21 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..driving.scoring import EpisodeCounters
-from .criteria import Blocked, CollisionTracker, RouteDeviation
-from .expert import LocalPlanner
+from ..driving.scoring import EpisodeCounters, episode_stats
+from .criteria import (
+    Blocked,
+    CollisionTracker,
+    EncounterLight,
+    OutsideRouteLaneTracker,
+    RouteDeviation,
+    RunRedLight,
+    RunStopSign,
+)
+from .expert import LocalPlanner, _loc_global_to_ref
 from .obs import ActorState, control_obs, object_finder_obs, process_obs, speed_obs, velocity_obs
 from .reward import ValeoActionReward, desired_speed_from_hazards, lbc_hazard_vehicle, lbc_hazard_walker
 from .terminal import ValeoTerminal
+from .traffic_lights import StopSignRegistry, TrafficLightRegistry, lane_observation
 from .weather import DynamicWeather
 
 log = logging.getLogger(__name__)
@@ -63,6 +72,10 @@ class _SensorQueue:
             self.sensor.destroy()
         except RuntimeError:  # already gone with the world
             pass
+
+
+def _loc_tuple(loc) -> tuple:
+    return (loc.x, loc.y, loc.z)
 
 
 def _image_to_rgb(image) -> np.ndarray:
@@ -265,16 +278,33 @@ class CarlaDrivingEnv:
         self._new_route()
 
         self.expert = LocalPlanner(target_speed=self.target_speed)
+        # registries built once per episode (reference: TrafficLightHandler.reset
+        # in carla_multi_agent_env reset, RunStopSign.__init__ world scan)
+        self.tl_registry = TrafficLightRegistry(self.world, self.map)
+        self.stop_registry = StopSignRegistry(self.world, self.map)
+        # the full 7-criterion suite (reference ego_vehicle_handler wiring)
         self.collision = CollisionTracker()
         self.blocked = Blocked()
         self.route_dev = RouteDeviation()
+        self.encounter_light = EncounterLight()
+        self.run_red_light = RunRedLight()
+        self.run_stop_sign = RunStopSign()
+        self.outside_lane = OutsideRouteLaneTracker()
         self.reward_fn = ValeoActionReward()
         self.terminal = ValeoTerminal(eval_mode=self.eval_mode)
         self.counters = EpisodeCounters()
         self.sim_time = 0.0
         self.steps = 0
+        self.episode_reward = 0.0
+        self.completed_m = 0.0
+        loc = self.ego.get_location()
+        self._prev_loc_xy = np.array([loc.x, loc.y])
         self._last_control = np.zeros(3)
         return self._observe()
+
+    def _route_length_m(self) -> float:
+        pts = np.asarray([p for p, _ in self.route], np.float64)
+        return float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1))) if len(pts) > 1 else 1.0
 
     def _route_progress(self):
         """Pop passed waypoints; return (cur_wp, next_wp, next_command)."""
@@ -310,14 +340,9 @@ class CarlaDrivingEnv:
         return actors
 
     def _at_red_light(self) -> bool:
-        if not self.ego.is_at_traffic_light():
-            return False
-        state = self.ego.get_traffic_light().get_state()
-        # red OR yellow, like traffic_light_new.py:29-43
-        return state in (
-            self._carla.TrafficLightState.Red,
-            self._carla.TrafficLightState.Yellow,
-        )
+        """Red OR yellow affecting light via the first-party registry
+        (reference traffic_light_new.py:29-43 semantics)."""
+        return self.tl_registry.at_red_light(self.ego.get_transform())
 
     def _observe(self) -> Dict:
         frame = self.world.get_snapshot().frame
@@ -392,11 +417,19 @@ class CarlaDrivingEnv:
 
         obs = self._observe()
 
-        # criteria + terminal over tested pure logic
+        # criteria + terminal over tested pure logic (full 7-criterion suite,
+        # accumulation mirrors ego_vehicle_handler.py:186-324)
+        carla = self._carla
         tf = self.ego.get_transform()
         vel = self.ego.get_velocity()
         speed = float(np.hypot(vel.x, vel.y))
-        ev_loc = (tf.location.x, tf.location.y, tf.location.z)
+        loc = tf.location
+        ev_loc = (loc.x, loc.y, loc.z)
+        pos_xy = np.array([loc.x, loc.y])
+        dist_step = float(np.linalg.norm(pos_xy - self._prev_loc_xy))
+        self._prev_loc_xy = pos_xy
+        self.completed_m += dist_step
+
         info_col = self.collision.tick(ev_loc, self.sim_time)
         if info_col is not None:
             kind = info_col["collision_type"]
@@ -414,16 +447,142 @@ class CarlaDrivingEnv:
 
         cur, nxt = self._route_progress()
         wp_xy = np.asarray(cur[0])
-        done, timeout, terminal_reward, _ = self.terminal.get(
-            self.sim_time, ev_loc, speed, wp_xy, tf.rotation.yaw, np.asarray(nxt[0]),
-            info_blocked, None, info_col, None,
+        info_dev = self.route_dev.tick(
+            ev_loc, wp_xy, dist_step, self._route_length_m(), self.sim_time, self.steps
         )
-        desired = desired_speed_from_hazards()
+        if info_dev is not None:
+            self.counters.route_dev += 1
+
+        # traffic lights: encounter + red-light run via the registry
+        light_state, light_loc_ev, light_id = self.tl_registry.get_light_state(
+            tf, dist_threshold=7.5
+        )
+        info_light = self.encounter_light.tick(
+            light_id, light_loc_ev, self.sim_time, self.steps
+        )
+        if info_light is not None:
+            self.counters.encounter_light += 1
+
+        fwd = tf.get_forward_vector()
+        ev_extent = self.ego.bounding_box.extent.x
+        tail_close = (loc.x - 0.8 * ev_extent * fwd.x, loc.y - 0.8 * ev_extent * fwd.y)
+        tail_far = (loc.x - (ev_extent + 1.0) * fwd.x, loc.y - (ev_extent + 1.0) * fwd.y)
+        tail_wp = self.map.get_waypoint(carla.Location(tail_far[0], tail_far[1], loc.z))
+        info_red = self.run_red_light.tick(
+            ev_loc,
+            (fwd.x, fwd.y),
+            tail_close,
+            tail_far,
+            tail_wp.road_id,
+            tail_wp.lane_id,
+            self.tl_registry.light_observations(pos_xy),
+            self.sim_time,
+            self.steps,
+        )
+        if info_red is not None:
+            self.counters.red_light += 1
+
+        # stop signs: registry scan feeding the state machine
+        stop_loc_ev = None
+        target_id = self.run_stop_sign.target_stop_id
+        if target_id is None:
+            sign = self.stop_registry.scan(tf)
+            info_stop = self.run_stop_sign.tick(
+                ev_loc, speed,
+                sign.id if sign is not None else None,
+                inside_trigger=False, still_affected=True,
+                stop_loc=None if sign is None else _loc_tuple(sign.get_location()),
+                sim_time=self.sim_time, step=self.steps,
+            )
+        else:
+            sign = self.stop_registry.get(target_id)
+            info_stop = self.run_stop_sign.tick(
+                ev_loc, speed, None,
+                inside_trigger=self.stop_registry.inside_trigger(loc, sign),
+                still_affected=self.stop_registry.is_affected(loc, sign),
+                stop_loc=_loc_tuple(sign.get_location()),
+                sim_time=self.sim_time, step=self.steps,
+            )
+            if not self.run_stop_sign.stop_completed:
+                # targeted, not yet stopped -> reward hazard (valeo_action.py:75-88)
+                sl = sign.get_location()
+                stop_loc_ev = _loc_global_to_ref(
+                    (sl.x, sl.y), (loc.x, loc.y), tf.rotation.yaw
+                )
+        if info_stop is not None:
+            if info_stop["event"] == "encounter":
+                self.counters.encounter_stop += 1
+            else:
+                self.counters.stop_infraction += 1
+
+        # outside/wrong lane distance accounting
+        lane = lane_observation(self.map, loc)
+        info_out = None
+        if lane is not None:
+            info_out = self.outside_lane.tick(
+                ev_loc, tf.rotation.yaw, lane.distance, lane.lane_width,
+                lane.road_id, lane.lane_id, lane.wp_yaw, lane.is_junction,
+                dist_step, self.sim_time, self.steps,
+            )
+        if info_out is not None:
+            if info_out["outside_lane"]:
+                self.counters.outside_lane_m += dist_step
+            if info_out["wrong_lane"]:
+                self.counters.wrong_lane_m += dist_step
+
+        # route waypoint heading from the polyline (route carries no yaw)
+        wp_delta = np.asarray(nxt[0], np.float64) - wp_xy
+        wp_yaw = (
+            float(np.degrees(np.arctan2(wp_delta[1], wp_delta[0])))
+            if np.linalg.norm(wp_delta) > 1e-6
+            else tf.rotation.yaw
+        )
+        done, timeout, terminal_reward, _ = self.terminal.get(
+            self.sim_time, ev_loc, speed, wp_xy, wp_yaw, np.asarray(nxt[0]),
+            info_blocked, info_red, info_col, info_stop,
+        )
+
+        # hazard-derived desired speed (valeo_action.py:44-96)
+        ego_loc3 = (loc.x, loc.y, loc.z)
+        vehicles = object_finder_obs(ego_loc3, tf.rotation.yaw, self._surrounding("vehicle"))
+        walkers = object_finder_obs(ego_loc3, tf.rotation.yaw, self._surrounding("walker"))
+        rl_state, rl_loc, _ = self.tl_registry.get_light_state(
+            tf, offset=-0.8 * ev_extent, dist_threshold=18.0
+        )
+        desired = desired_speed_from_hazards(
+            hazard_vehicle_loc=lbc_hazard_vehicle(vehicles),
+            hazard_ped_loc=lbc_hazard_walker(walkers),
+            red_light_loc=rl_loc if rl_state in ("Red", "Yellow") else None,
+            stop_sign_loc=stop_loc_ev,
+        )
         reward, _ = self.reward_fn.get(
-            speed, ev_loc, tf.rotation.yaw, float(control[1]), wp_xy, tf.rotation.yaw,
+            speed, ev_loc, tf.rotation.yaw, float(control[1]), wp_xy, wp_yaw,
             desired, terminal_reward,
         )
-        return obs, reward, done, {"counters": self.counters, "timeout": timeout}
+        self.episode_reward += reward
+        info = {
+            "counters": self.counters,
+            "timeout": timeout,
+            "collision": info_col,
+            "run_red_light": info_red,
+            "encounter_light": info_light,
+            "run_stop_sign": info_stop,
+            "route_deviation": info_dev,
+            "blocked": info_blocked,
+            "outside_route_lane": info_out,
+        }
+        if done:
+            info["episode_stat"] = episode_stats(
+                self.counters,
+                route_length_m=self._route_length_m(),
+                route_completed_m=self.completed_m,
+                is_route_completed=False,  # endless routes never "complete"
+                endless=True,
+                timeout=timeout,
+                episode_length=self.steps,
+                total_reward=self.episode_reward,
+            )
+        return obs, reward, done, info
 
     def close_actors(self):
         for s in self._sensors.values():

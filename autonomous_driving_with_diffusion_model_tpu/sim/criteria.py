@@ -325,6 +325,17 @@ class RunStopSign:
         self._stop_completed = False
         self._affected_by_stop = False
 
+    @property
+    def target_stop_id(self):
+        """Currently-targeted sign id (None when scanning) — lets the env
+        adapter drive the registry queries and the reward's stop-sign hazard
+        (reference valeo_action.py:75-88 reads the criterion's target)."""
+        return self._target_stop_id
+
+    @property
+    def stop_completed(self) -> bool:
+        return self._stop_completed
+
     def tick(
         self,
         ev_loc,

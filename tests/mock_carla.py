@@ -17,6 +17,9 @@ class Location:
             np.linalg.norm([self.x - other.x, self.y - other.y, self.z - other.z])
         )
 
+    def __add__(self, other):
+        return Location(self.x + other.x, self.y + other.y, self.z + other.z)
+
 
 class Rotation:
     def __init__(self, pitch=0.0, yaw=0.0, roll=0.0):
@@ -31,6 +34,16 @@ class Transform:
     def get_forward_vector(self):
         yaw = np.deg2rad(self.rotation.yaw)
         return SimpleNamespace(x=float(np.cos(yaw)), y=float(np.sin(yaw)), z=0.0)
+
+    def transform(self, loc):
+        """Local point -> world (yaw-only, like real carla for flat objects)."""
+        yaw = np.deg2rad(self.rotation.yaw)
+        c, s = np.cos(yaw), np.sin(yaw)
+        return Location(
+            self.location.x + c * loc.x - s * loc.y,
+            self.location.y + s * loc.x + c * loc.y,
+            self.location.z + loc.z,
+        )
 
 
 class VehicleControl:
@@ -68,6 +81,9 @@ class _Vehicle:
         self.control = VehicleControl()
         self.type_id = "vehicle.lincoln.mkz2017"
         self.alive = True
+        self.bounding_box = SimpleNamespace(
+            extent=SimpleNamespace(x=2.45, y=1.06, z=0.75)
+        )
 
     # --- carla.Vehicle surface
     def get_location(self):
@@ -210,12 +226,85 @@ class _World:
         self.weather = w
 
 
+JUNCTION_X = (62.0, 75.0)  # the mock town: one road along +x with one junction
+LANE_WIDTH = 3.5
+
+
+class Waypoint:
+    """Waypoint on the mock's single straight road (y=0, heading +x)."""
+
+    def __init__(self, x):
+        self.x = float(x)
+        self.is_junction = JUNCTION_X[0] <= x <= JUNCTION_X[1]
+        self.is_intersection = self.is_junction
+        self.road_id = 2 if self.is_junction else (1 if x < JUNCTION_X[0] else 3)
+        self.lane_id = -1
+        self.lane_width = LANE_WIDTH
+        self.transform = Transform(Location(x=self.x, y=0.0), Rotation(yaw=0.0))
+
+    def next(self, d):
+        return [Waypoint(self.x + d)]
+
+    def previous(self, d):
+        return [Waypoint(self.x - d)]
+
+
 class _Map:
     def get_spawn_points(self):
         return [
             Transform(Location(x=float(i * 10), y=0.0), Rotation(yaw=0.0))
             for i in range(10)
         ]
+
+    def get_waypoint(self, location, lane_type=None, project_to_road=True):
+        if lane_type is not None and lane_type == LaneType.Parking:
+            return None  # mock town has no parking lanes
+        return Waypoint(location.x)
+
+
+class TrafficLight:
+    """Traffic light at the junction entrance; trigger volume spans the lane."""
+
+    def __init__(self, x=57.0, state="Red", extent_x=1.5):
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.type_id = "traffic.traffic_light"
+        self.state = state
+        self._transform = Transform(Location(x=float(x), y=0.0), Rotation(yaw=0.0))
+        self.trigger_volume = SimpleNamespace(
+            location=Location(0.0, 0.0, 0.0),
+            extent=SimpleNamespace(x=float(extent_x), y=2.0, z=1.0),
+        )
+
+    def get_transform(self):
+        return self._transform
+
+    def get_location(self):
+        return self._transform.location
+
+    def destroy(self):
+        pass
+
+
+class StopSign:
+    def __init__(self, x=40.0, extent=2.0):
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.type_id = "traffic.stop"
+        self._transform = Transform(Location(x=float(x), y=0.0), Rotation(yaw=0.0))
+        self.trigger_volume = SimpleNamespace(
+            location=Location(0.0, 0.0, 0.0),
+            extent=SimpleNamespace(x=float(extent), y=float(extent), z=1.0),
+        )
+
+    def get_transform(self):
+        return self._transform
+
+    def get_location(self):
+        return self._transform.location
+
+    def destroy(self):
+        pass
 
 
 class Client:
@@ -234,3 +323,4 @@ class Client:
 
 WeatherParameters = SimpleNamespace(ClearNoon=SimpleNamespace())
 TrafficLightState = SimpleNamespace(Red="Red", Yellow="Yellow", Green="Green")
+LaneType = SimpleNamespace(Driving="Driving", Parking="Parking")

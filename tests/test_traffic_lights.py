@@ -1,0 +1,216 @@
+"""Traffic-light / stop-sign registries + full criteria wiring in the env.
+
+Drives scripted infractions (red-light run, stop-sign run) through the
+CarlaDrivingEnv adapter against the mock carla town (one straight road with a
+junction at x in [62, 75]) and checks the counters, terminal behavior, and
+the evaluator's _checkpoint JSON — the end-to-end path the reference wires in
+ego_vehicle_handler.py:186-324.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def mock(monkeypatch):
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    return mock_carla
+
+
+def _make_env(mock, actors=()):
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import CarlaDrivingEnv
+
+    env = CarlaDrivingEnv(seed=0)
+    for a in actors:
+        env.world.actors.append(a)
+    env.reset()
+    _script_route(env, start_x=30.0)
+    return env
+
+
+def _script_route(env, start_x):
+    """Deterministic straight route through the junction, ego at start_x."""
+    env.ego.transform.location.x = start_x
+    env.ego.transform.location.y = 0.0
+    env.ego.transform.rotation.yaw = 0.0
+    env.ego.speed = 0.0
+    env.route = [((float(x), 0.0), 4) for x in range(int(start_x), int(start_x) + 200)]
+    env._route_idx = 0
+    env._prev_loc_xy = np.array([start_x, 0.0])
+    env.completed_m = 0.0
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_registry_builds_stop_lines(mock):
+    from autonomous_driving_with_diffusion_model_tpu.sim.traffic_lights import (
+        TrafficLightRegistry,
+    )
+
+    world = mock.Client("localhost", 2000).get_world()
+    light = mock.TrafficLight(x=57.0, state="Red")
+    world.actors.append(light)
+    reg = TrafficLightRegistry(world, world.get_map())
+    assert len(reg) == 1
+    entry = reg.entries[0]
+    # waypoints deduped by (road, lane) then advanced to the junction entrance
+    assert len(entry.stop_lines) == 1
+    sl = entry.stop_lines[0]
+    assert sl.road_id == 1 and sl.lane_id == -1
+    assert 60.0 < sl.left[0] <= mock.JUNCTION_X[0]  # advanced near x=62
+    # stop line spans 0.4 lane widths either side of the lane center
+    assert sl.left[1] == pytest.approx(-0.4 * mock.LANE_WIDTH)
+    assert sl.right[1] == pytest.approx(0.4 * mock.LANE_WIDTH)
+    # junction paths traced through the junction
+    assert entry.junction_paths
+
+
+def test_get_light_state_affecting_lane(mock):
+    from autonomous_driving_with_diffusion_model_tpu.sim.traffic_lights import (
+        TrafficLightRegistry,
+    )
+
+    world = mock.Client("localhost", 2000).get_world()
+    world.actors.append(mock.TrafficLight(x=57.0, state="Red"))
+    reg = TrafficLightRegistry(world, world.get_map())
+
+    fwd_tf = mock.Transform(mock.Location(x=58.0), mock.Rotation(yaw=0.0))
+    state, loc_in_ev, light_id = reg.get_light_state(fwd_tf, dist_threshold=15.0)
+    assert state == "Red" and light_id is not None
+    assert loc_in_ev[0] > 0  # stop line ahead of the ego
+    assert reg.at_red_light(fwd_tf)
+
+    # driving the wrong way: the light does not affect us (dot <= 0)
+    rev_tf = mock.Transform(mock.Location(x=58.0), mock.Rotation(yaw=180.0))
+    state, _, light_id = reg.get_light_state(rev_tf, dist_threshold=15.0)
+    assert state is None and light_id is None
+
+    # birdview extraction: red stop lines present, green empty
+    assert reg.get_stopline_vtx((58.0, 0.0), 2)
+    assert not reg.get_stopline_vtx((58.0, 0.0), 0)
+
+
+def test_lane_observation_geometry(mock):
+    from autonomous_driving_with_diffusion_model_tpu.sim.traffic_lights import (
+        lane_observation,
+    )
+
+    world = mock.Client("localhost", 2000).get_world()
+    lane = lane_observation(world.get_map(), mock.Location(x=10.0, y=2.0))
+    assert lane.distance == pytest.approx(2.0)
+    assert lane.lane_width == pytest.approx(mock.LANE_WIDTH)
+    assert lane.road_id == 1 and not lane.is_junction
+    assert lane_observation(world.get_map(), mock.Location(x=65.0)).is_junction
+
+
+# ------------------------------------------------------------- env wiring
+
+
+def test_red_light_run_counted_and_terminates(mock):
+    env = _make_env(mock, [mock.TrafficLight(x=57.0, state="Red")])
+    done = False
+    for _ in range(200):
+        obs, reward, done, info = env.step({0: np.array([1.0, 0.0, 0.0])})
+        if done:
+            break
+    assert done, "red-light run must terminate the episode (valeo terminal)"
+    assert info["run_red_light"] is not None
+    assert env.counters.red_light == 1
+    assert env.counters.encounter_light == 1  # passed within 7.5 m of the light
+    stat = info["episode_stat"]
+    assert stat["red_light"] == pytest.approx(1.0 / stat["route_completed_in_km"])
+    assert stat["score_penalty"] <= 0.70  # red-light multiplicative penalty
+
+
+def test_green_light_not_counted(mock):
+    env = _make_env(mock, [mock.TrafficLight(x=57.0, state="Green")])
+    for _ in range(120):
+        obs, reward, done, info = env.step({0: np.array([1.0, 0.0, 0.0])})
+        if env.ego.get_location().x > 80.0:
+            break
+    assert env.counters.red_light == 0
+    assert env.counters.encounter_light == 1  # still encountered the light
+
+
+def test_stop_sign_run(mock):
+    env = _make_env(mock, [mock.StopSign(x=40.0)])
+    for _ in range(120):
+        obs, reward, done, info = env.step({0: np.array([1.0, 0.0, 0.0])})
+        if env.ego.get_location().x > 70.0:
+            break
+    assert env.counters.encounter_stop == 1
+    assert env.counters.stop_infraction == 1  # never stopped inside the trigger
+
+
+def test_stop_sign_respected(mock):
+    env = _make_env(mock, [mock.StopSign(x=40.0)])
+    for _ in range(300):
+        x = env.ego.get_location().x
+        # brake to a stop inside the trigger volume, then continue
+        inside = 38.0 <= x <= 42.0
+        control = np.array([0.0, 0.0, 1.0]) if inside and env.ego.speed > 0.05 else np.array([0.6, 0.0, 0.0])
+        env.step({0: control})
+        if x > 70.0:
+            break
+    assert env.counters.encounter_stop == 1
+    assert env.counters.stop_infraction == 0
+
+
+def test_expert_brakes_at_red_light(mock):
+    env = _make_env(mock, [mock.TrafficLight(x=57.0, state="Red")])
+    for _ in range(300):
+        obs, reward, done, info = env.step({0: None})  # expert autopilot
+        assert not done, "expert must not run the red light"
+        if env.steps > 250:
+            break
+    # held before the stop line (within the 15 m affecting-light horizon)
+    assert env.ego.get_location().x < 62.0
+    assert env.counters.red_light == 0
+
+
+# ------------------------------------------------------------- evaluator
+
+
+def test_evaluator_checkpoint_records_red_light(mock, tmp_path):
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluator import RouteEvaluator
+
+    class FullThrottleAgent:
+        def compute_control(self, state):
+            return np.array([1.0, 0.0, 0.0])
+
+    def env_factory(route):
+        env = _make_env(mock, [mock.TrafficLight(x=57.0, state="Red")])
+
+        class _Proxy:
+            def reset(self):
+                _script_route(env, start_x=30.0)
+                env.world.tick()  # emit fresh sensor frames for _observe
+                return env._observe()
+
+            def step(self, control):
+                return env.step(control)
+
+            @property
+            def counters(self):
+                return env.counters
+
+        return _Proxy()
+
+    ckpt = tmp_path / "ckpt.json"
+    ev = RouteEvaluator(
+        agent_factory=FullThrottleAgent,
+        env_factory=env_factory,
+        routes=[{"id": "r0", "length_m": 100.0}],
+        checkpoint_path=str(ckpt),
+        max_steps_per_route=300,
+        counters_fn=lambda env: env.counters,
+    )
+    data = ev.run(resume=False)
+    rec = data["_checkpoint"]["records"][0]
+    assert rec["infractions"]["red_light"] == ["event"]
+    assert rec["scores"]["score_penalty"] <= 0.70
