@@ -38,7 +38,24 @@ from .reward import (
     lbc_hazard_vehicle,
     lbc_hazard_walker,
 )
+from .route_planner import (
+    GlobalRoutePlanner,
+    RouteTracker,
+    downsample_route,
+    location_route_to_gps,
+    location_to_gps,
+)
 from .server_utils import CarlaServerManager, kill_carla
+from .suites import (
+    SUITES,
+    TransformSpec,
+    build_corl2017_tasks,
+    build_endless_tasks,
+    build_leaderboard_tasks,
+    build_nocrash_tasks,
+    build_suite_tasks,
+    parse_suite_routes,
+)
 from .terminal import ValeoTerminal
 from .traffic_lights import (
     LaneObservation,
@@ -84,6 +101,19 @@ __all__ = [
     "velocity_obs",
     "object_finder_obs",
     "process_obs",
+    "SUITES",
+    "TransformSpec",
+    "build_endless_tasks",
+    "build_nocrash_tasks",
+    "build_corl2017_tasks",
+    "build_leaderboard_tasks",
+    "build_suite_tasks",
+    "parse_suite_routes",
+    "GlobalRoutePlanner",
+    "RouteTracker",
+    "downsample_route",
+    "location_route_to_gps",
+    "location_to_gps",
     "TrafficLightRegistry",
     "StopSignRegistry",
     "LaneObservation",

@@ -97,9 +97,15 @@ class CarlaDrivingEnv:
         fixed_delta: float = 0.1,
         weather: str = "ClearNoon",
         num_zombie_vehicles: int = 0,
+        num_zombie_walkers: int = 0,
         seed: int = 0,
         eval_mode: bool = False,
+        route_min_length: float = 1000.0,
+        tasks: Optional[list] = None,
     ):
+        """``tasks``: optional benchmark task dicts (sim.suites); the env
+        cycles through them across resets like the reference's task rotation
+        (carla_multi_agent_env.py task_idx). Without tasks it runs Endless."""
         import carla
 
         self._carla = carla
@@ -108,7 +114,13 @@ class CarlaDrivingEnv:
         self.fixed_delta = fixed_delta
         self.weather_name = weather
         self.num_zombie_vehicles = num_zombie_vehicles
+        self.num_zombie_walkers = num_zombie_walkers
         self.eval_mode = eval_mode
+        self.route_min_length = route_min_length
+        self.tasks = tasks
+        self._task_idx = -1
+        self._endless = True
+        self._final_target = None
 
         # connect with retries (reference: carla_multi_agent_env.py:251-261)
         last_exc = None
@@ -142,44 +154,51 @@ class CarlaDrivingEnv:
     # ------------------------------------------------------------- internals
 
     def _make_route_planner(self):
-        """CARLA's own global route planner; API differs across versions."""
+        """First-party topology-graph planner (sim.route_planner); maps whose
+        API lacks ``get_topology`` degrade to straight-line routes."""
+        if not hasattr(self.map, "get_topology"):
+            log.warning("map has no get_topology; straight-line routes only")
+            return None
         try:
-            from agents.navigation.global_route_planner import GlobalRoutePlanner
+            from .route_planner import GlobalRoutePlanner
 
-            try:  # >= 0.9.12
-                return GlobalRoutePlanner(self.map, sampling_resolution=1.0)
-            except TypeError:  # 0.9.10/0.9.11 DAO API
-                from agents.navigation.global_route_planner_dao import (
-                    GlobalRoutePlannerDAO,
-                )
-
-                planner = GlobalRoutePlanner(GlobalRoutePlannerDAO(self.map, 1.0))
-                planner.setup()
-                return planner
-        except ImportError:
-            log.warning("carla agents package unavailable; straight-line routes only")
+            return GlobalRoutePlanner(self.map, resolution=1.0)
+        except Exception as exc:  # malformed topology: degrade, don't die
+            log.warning("route planner build failed (%s); straight-line routes", exc)
             return None
 
-    def _trace_route(self, start_loc, end_loc):
-        if self._route_planner is None:
-            n = 200
-            pts = np.linspace(
-                [start_loc.x, start_loc.y], [end_loc.x, end_loc.y], n
-            )
-            return [((float(x), float(y)), 4) for x, y in pts]
-        route = self._route_planner.trace_route(start_loc, end_loc)
-        return [
-            ((wp.transform.location.x, wp.transform.location.y), int(opt.value))
-            for wp, opt in route
-        ]
+    def _get_spawn_transforms(self):
+        """[(road_id, transform)] spawn candidates, walked out of junctions
+        (reference ego_vehicle_handler.py:344-375, sans the Town03 weighting)."""
+        out = []
+        for trans in self.map.get_spawn_points():
+            wp = self.map.get_waypoint(trans.location)
+            if wp is None:
+                continue
+            guard = 0
+            while wp.is_junction and guard < 100:
+                prev = wp.previous(1.0)
+                if not prev:
+                    break
+                wp = prev[0]
+                guard += 1
+            out.append((wp.road_id, trans))
+        return out
 
-    def _spawn_ego(self):
+    def _trace_route(self, start_loc, end_loc):
+        """Straight-line fallback route (no topology available)."""
+        n = 200
+        pts = np.linspace([start_loc.x, start_loc.y], [end_loc.x, end_loc.y], n)
+        return [((float(x), float(y)), 4) for x, y in pts]
+
+    def _spawn_ego(self, spawn_transform=None, model: str = "vehicle.lincoln.mkz2017"):
         carla = self._carla
-        bp = self.world.get_blueprint_library().find("vehicle.lincoln.mkz2017")
+        bp = self.world.get_blueprint_library().find(model)
         bp.set_attribute("role_name", "hero")
-        spawn_points = self.map.get_spawn_points()
-        idx = int(self.rng.integers(len(spawn_points)))
-        self.ego = self.world.spawn_actor(bp, spawn_points[idx])
+        if spawn_transform is None:
+            spawn_points = self.map.get_spawn_points()
+            spawn_transform = spawn_points[int(self.rng.integers(len(spawn_points)))]
+        self.ego = self.world.spawn_actor(bp, spawn_transform)
         self._actors.append(self.ego)
 
         def cam(spec_name):
@@ -243,10 +262,70 @@ class CarlaDrivingEnv:
                 pass  # no traffic manager available
             spawned += 1
 
+    def _spawn_walkers(self, n: int):
+        """Navmesh-spawned pedestrians on AI controllers, 1+U(0,1) m/s
+        (reference: zombie_walker_handler.py:15-104)."""
+        if n <= 0:
+            return
+        carla = self._carla
+        lib = self.world.get_blueprint_library()
+        if not hasattr(lib, "filter") or not hasattr(
+            self.world, "get_random_location_from_navigation"
+        ):
+            log.warning("world lacks walker navmesh API; skipping walkers")
+            return
+        walker_bps = list(lib.filter("walker.pedestrian.*"))
+        if not walker_bps:
+            return
+        try:
+            ctrl_bp = lib.find("controller.ai.walker")
+        except (RuntimeError, IndexError):
+            ctrl_bp = None
+        ego_loc = self.ego.get_location()
+        spawned, trials = 0, 0
+        while spawned < n and trials < 10 * n + 10:
+            trials += 1
+            loc = self.world.get_random_location_from_navigation()
+            if loc is None or loc.distance(ego_loc) < 10.0:
+                continue
+            bp = walker_bps[int(self.rng.integers(len(walker_bps)))]
+            if hasattr(bp, "has_attribute") and bp.has_attribute("is_invincible"):
+                bp.set_attribute("is_invincible", "false")
+            try:
+                walker = self.world.spawn_actor(bp, carla.Transform(loc))
+            except RuntimeError:
+                continue
+            self._actors.append(walker)
+            if ctrl_bp is not None:
+                try:
+                    ctrl = self.world.spawn_actor(
+                        ctrl_bp, carla.Transform(), attach_to=walker
+                    )
+                    self._actors.append(ctrl)
+                    ctrl.start()
+                    ctrl.go_to_location(
+                        self.world.get_random_location_from_navigation()
+                    )
+                    ctrl.set_max_speed(1.0 + float(self.rng.random()))
+                except (RuntimeError, AttributeError):
+                    pass  # walker stays static without an AI controller
+            spawned += 1
+
     def _new_route(self):
-        spawn_points = self.map.get_spawn_points()
-        dest = spawn_points[int(self.rng.integers(len(spawn_points)))].location
-        self.route = self._trace_route(self.ego.get_location(), dest)
+        if self.tracker is not None:
+            # endless extension: chain random spawn targets until the
+            # remaining route is long enough (task_vehicle.py:58-102)
+            self.tracker.extend_random(
+                self.ego.get_location(),
+                self._spawn_transforms,
+                self.rng,
+                min_length=self.tracker.route_completed + self.route_min_length,
+            )
+            self.route = self.tracker.as_xy()
+        else:
+            spawn_points = self.map.get_spawn_points()
+            dest = spawn_points[int(self.rng.integers(len(spawn_points)))].location
+            self.route = self._trace_route(self.ego.get_location(), dest)
         self._route_idx = 0
 
     def _set_weather(self):
@@ -271,11 +350,45 @@ class CarlaDrivingEnv:
 
     def reset(self) -> Dict:
         self.close_actors()
-        self._spawn_ego()
+        ego_route = []
+        if self.tasks:
+            # rotate through the suite's tasks across episodes
+            self._task_idx = (self._task_idx + 1) % len(self.tasks)
+            task = self.tasks[self._task_idx]
+            self.weather_name = task.get("weather", self.weather_name)
+            self.num_zombie_vehicles = task.get(
+                "num_zombie_vehicles", self.num_zombie_vehicles
+            )
+            self.num_zombie_walkers = task.get(
+                "num_zombie_walkers", self.num_zombie_walkers
+            )
+            self.target_speed = task.get("target_speed", self.target_speed)
+            self._endless = bool(task.get("endless", not task.get("ego_route")))
+            ego_route = list(task.get("ego_route", ()))
+        spawn_tf = ego_route[0].as_carla() if ego_route else None
+        self._spawn_ego(spawn_transform=spawn_tf)
         self._spawn_zombies(self.num_zombie_vehicles)
+        self._spawn_walkers(self.num_zombie_walkers)
         self._set_weather()
         self.world.tick()
-        self._new_route()
+        self.tracker = None
+        self._final_target = None
+        if self._route_planner is not None:
+            from .route_planner import RouteTracker
+
+            self.tracker = RouteTracker(self._route_planner, self.map)
+            self._spawn_transforms = self._get_spawn_transforms()
+        self._step_traveled = 0.0
+        if self.tracker is not None and len(ego_route) > 1:
+            # fixed benchmark route: trace through the task's target transforms
+            carla = self._carla
+            targets = [carla.Location(t.x, t.y, t.z) for t in ego_route[1:]]
+            self.tracker.trace_to_targets(self.ego.get_location(), targets)
+            self.route = self.tracker.as_xy()
+            self._route_idx = 0
+            self._final_target = targets[-1]
+        else:
+            self._new_route()
 
         self.expert = LocalPlanner(target_speed=self.target_speed)
         # registries built once per episode (reference: TrafficLightHandler.reset
@@ -303,6 +416,8 @@ class CarlaDrivingEnv:
         return self._observe()
 
     def _route_length_m(self) -> float:
+        if self.tracker is not None:
+            return max(self.tracker.route_length, 1.0)
         pts = np.asarray([p for p, _ in self.route], np.float64)
         return float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1))) if len(pts) > 1 else 1.0
 
@@ -310,20 +425,35 @@ class CarlaDrivingEnv:
         """Pop passed waypoints; return (cur_wp, next_wp, next_command)."""
         pos = self.ego.get_location()
         pos_xy = np.array([pos.x, pos.y])
-        while (
-            self._route_idx + 2 < len(self.route)
-            and np.linalg.norm(np.asarray(self.route[self._route_idx][0]) - pos_xy) < 5.0
-        ):
-            self._route_idx += 1
-        if self._route_idx + 10 > len(self.route):  # endless: extend the route
-            self._new_route()
+        if self.tracker is not None:
+            # cumulative-distance truncation (task_vehicle.py:149-185);
+            # traveled accumulates until step() consumes it for the criteria
+            self._step_traveled += self.tracker.truncate(pos_xy)
+            remaining = self.tracker.route_length - self.tracker.route_completed
+            if remaining < 100.0 and self._endless:  # extend before running dry
+                self._new_route()
+            else:
+                self.route = self.tracker.as_xy()
+                self._route_idx = 0
+        else:
+            while (
+                self._route_idx + 2 < len(self.route)
+                and np.linalg.norm(np.asarray(self.route[self._route_idx][0]) - pos_xy) < 5.0
+            ):
+                self._route_idx += 1
+            if self._route_idx + 10 > len(self.route):  # endless: extend the route
+                self._new_route()
         cur = self.route[self._route_idx]
         nxt = self.route[min(self._route_idx + 1, len(self.route) - 1)]
         return cur, nxt
 
     def _surrounding(self, kind: str):
+        # full type prefixes so "walker" never matches controller.ai.walker
+        pattern = {"vehicle": "vehicle.*", "walker": "walker.pedestrian.*"}.get(
+            kind, f"*{kind}*"
+        )
         actors = []
-        for actor in self.world.get_actors().filter(f"*{kind}*"):
+        for actor in self.world.get_actors().filter(pattern):
             if self.ego is not None and actor.id == self.ego.id:
                 continue
             loc = actor.get_location()
@@ -426,7 +556,13 @@ class CarlaDrivingEnv:
         loc = tf.location
         ev_loc = (loc.x, loc.y, loc.z)
         pos_xy = np.array([loc.x, loc.y])
-        dist_step = float(np.linalg.norm(pos_xy - self._prev_loc_xy))
+        if self.tracker is not None:
+            # route-based distance traveled, as the reference feeds criteria
+            # (task_vehicle.tick -> truncate; _observe truncated this tick)
+            dist_step = self._step_traveled
+            self._step_traveled = 0.0
+        else:
+            dist_step = float(np.linalg.norm(pos_xy - self._prev_loc_xy))
         self._prev_loc_xy = pos_xy
         self.completed_m += dist_step
 
@@ -541,6 +677,10 @@ class CarlaDrivingEnv:
             self.sim_time, ev_loc, speed, wp_xy, wp_yaw, np.asarray(nxt[0]),
             info_blocked, info_red, info_col, info_stop,
         )
+        route_completed = False
+        if self._final_target is not None and self.tracker is not None:
+            route_completed = self.tracker.is_completed(loc, self._final_target)
+            done = done or route_completed
 
         # hazard-derived desired speed (valeo_action.py:44-96)
         ego_loc3 = (loc.x, loc.y, loc.z)
@@ -576,8 +716,8 @@ class CarlaDrivingEnv:
                 self.counters,
                 route_length_m=self._route_length_m(),
                 route_completed_m=self.completed_m,
-                is_route_completed=False,  # endless routes never "complete"
-                endless=True,
+                is_route_completed=route_completed,  # endless routes never "complete"
+                endless=self._endless,
                 timeout=timeout,
                 episode_length=self.steps,
                 total_reward=self.episode_reward,

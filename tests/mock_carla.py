@@ -60,10 +60,21 @@ class _Blueprint:
     def set_attribute(self, k, v):
         self.attrs[k] = v
 
+    def has_attribute(self, k):
+        return k in self.attrs
+
 
 class _BlueprintLibrary:
     def find(self, bp_id):
         return _Blueprint(bp_id)
+
+    def filter(self, pattern):
+        base = pattern.rstrip("*").rstrip(".")
+        if "vehicle" in pattern:
+            return [_Blueprint("vehicle.lincoln.mkz2017")]
+        if "walker" in pattern:
+            return [_Blueprint(base + ".0001" if base else "walker.pedestrian.0001")]
+        return []
 
 
 class _Vehicle:
@@ -162,6 +173,58 @@ class _Sensor:
         # collision sensor: fired manually by tests
 
 
+class _Walker:
+    """Static pedestrian (position set at spawn; AI controller is a no-op)."""
+
+    def __init__(self, world, transform, type_id="walker.pedestrian.0001"):
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.world = world
+        self.type_id = type_id
+        self.transform = Transform(
+            Location(transform.location.x, transform.location.y, transform.location.z)
+        )
+        self.alive = True
+
+    def get_location(self):
+        return self.transform.location
+
+    def get_transform(self):
+        return self.transform
+
+    def get_velocity(self):
+        return SimpleNamespace(x=0.0, y=0.0, z=0.0)
+
+    def destroy(self):
+        self.alive = False
+
+
+class _WalkerController:
+    def __init__(self, world, parent):
+        self.id = _Vehicle._next_id
+        _Vehicle._next_id += 1
+        self.type_id = "controller.ai.walker"
+        self.parent = parent
+        self.started = False
+        self.target = None
+        self.max_speed = None
+
+    def start(self):
+        self.started = True
+
+    def go_to_location(self, loc):
+        self.target = loc
+
+    def set_max_speed(self, s):
+        self.max_speed = s
+
+    def stop(self):
+        self.started = False
+
+    def destroy(self):
+        pass
+
+
 class _ActorList(list):
     def filter(self, pattern):
         key = pattern.strip("*")
@@ -198,10 +261,23 @@ class _World:
             actor = _Vehicle(self, transform)
             self.actors.append(actor)
             return actor
+        if bp.id.startswith("walker"):
+            walker = _Walker(self, transform, type_id=bp.id)
+            self.actors.append(walker)
+            return walker
+        if bp.id == "controller.ai.walker":
+            ctrl = _WalkerController(self, attach_to)
+            self.actors.append(ctrl)
+            return ctrl
         sensor = _Sensor(self, bp, attach_to)
         self.sensors.append(sensor)
         self.actors.append(sensor)
         return sensor
+
+    def get_random_location_from_navigation(self):
+        # deterministic sidewalk points along the road (y=3, off the lane)
+        self._nav_i = getattr(self, "_nav_i", 0) + 1
+        return Location(x=float((self._nav_i * 17) % 140), y=3.0, z=0.0)
 
     def tick(self):
         self.frame += 1
@@ -230,14 +306,18 @@ JUNCTION_X = (62.0, 75.0)  # the mock town: one road along +x with one junction
 LANE_WIDTH = 3.5
 
 
+ROAD_END = 150.0
+
+
 class Waypoint:
     """Waypoint on the mock's single straight road (y=0, heading +x)."""
 
     def __init__(self, x):
         self.x = float(x)
-        self.is_junction = JUNCTION_X[0] <= x <= JUNCTION_X[1]
+        self.is_junction = JUNCTION_X[0] <= x < JUNCTION_X[1]
         self.is_intersection = self.is_junction
         self.road_id = 2 if self.is_junction else (1 if x < JUNCTION_X[0] else 3)
+        self.section_id = 0
         self.lane_id = -1
         self.lane_width = LANE_WIDTH
         self.transform = Transform(Location(x=self.x, y=0.0), Rotation(yaw=0.0))
@@ -260,6 +340,14 @@ class _Map:
         if lane_type is not None and lane_type == LaneType.Parking:
             return None  # mock town has no parking lanes
         return Waypoint(location.x)
+
+    def get_topology(self):
+        """Lane-segment graph: road 1 -> junction road 2 -> road 3."""
+        return [
+            (Waypoint(0.0), Waypoint(JUNCTION_X[0])),
+            (Waypoint(JUNCTION_X[0]), Waypoint(JUNCTION_X[1])),
+            (Waypoint(JUNCTION_X[1]), Waypoint(ROAD_END)),
+        ]
 
 
 class TrafficLight:

@@ -1,0 +1,138 @@
+"""First-party global route planner: topology graph, A*, RoadOption commands,
+leaderboard plan manipulation, endless route tracking, env integration."""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def mock(monkeypatch):
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    return mock_carla
+
+
+@pytest.fixture
+def planner(mock):
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import (
+        GlobalRoutePlanner,
+    )
+
+    return GlobalRoutePlanner(mock._Map(), resolution=1.0)
+
+
+def test_trace_route_through_junction(mock, planner):
+    from autonomous_driving_with_diffusion_model_tpu.sim.expert import RoadOption
+
+    route = planner.trace_route(mock.Location(x=5.0), mock.Location(x=85.0))
+    assert len(route) > 60
+    xs = [wp.transform.location.x for wp, _ in route]
+    # monotone progress from origin to destination
+    assert xs[0] == pytest.approx(5.0, abs=2.0)
+    assert xs[-1] == pytest.approx(85.0, abs=3.0)
+    assert all(b >= a for a, b in zip(xs, xs[1:]))
+    options = [opt for _, opt in route]
+    # straight-through junction is classified STRAIGHT, the rest LANEFOLLOW
+    assert RoadOption.STRAIGHT in options
+    assert options[0] == RoadOption.LANEFOLLOW
+    straight_xs = [
+        wp.transform.location.x for wp, o in route if o == RoadOption.STRAIGHT
+    ]
+    assert min(straight_xs) >= mock.JUNCTION_X[0] - 1.0
+
+
+def test_no_backwards_route(mock, planner):
+    with pytest.raises(ValueError):
+        planner.trace_route(mock.Location(x=120.0), mock.Location(x=5.0))
+
+
+def test_abstract_route_plan(mock, planner):
+    from autonomous_driving_with_diffusion_model_tpu.sim.expert import RoadOption
+
+    plan = planner.abstract_route_plan(mock.Location(x=5.0), mock.Location(x=85.0))
+    assert plan[0] == RoadOption.LANEFOLLOW
+    assert RoadOption.STRAIGHT in plan
+
+
+def test_downsample_and_gps_plan(mock, planner):
+    from autonomous_driving_with_diffusion_model_tpu.driving.gps import gps2xyz
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import (
+        downsample_route,
+        location_route_to_gps,
+    )
+
+    route = planner.trace_route(mock.Location(x=5.0), mock.Location(x=140.0))
+    ids = downsample_route(route, 50.0)
+    assert ids[0] == 0 and ids[-1] == len(route) - 1
+    assert len(ids) < len(route) / 10  # actually sparse
+    # consecutive same-command samples are <= ~51 m apart
+    xs = [route[i][0].transform.location.x for i in ids]
+    assert max(np.diff(xs)) < 55.0
+
+    gps = location_route_to_gps(route)
+    lat, lon, z = gps[0][0]
+    x, y, _ = gps2xyz(lat, lon, z, lat_ref=0.0, lon_ref=0.0)
+    loc = route[0][0].transform.location
+    assert x == pytest.approx(loc.x, abs=1e-6)
+    assert y == pytest.approx(loc.y, abs=1e-6)
+
+
+def test_route_tracker_truncate_and_completion(mock, planner):
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import RouteTracker
+
+    tracker = RouteTracker(planner, mock._Map())
+    tracker.trace_to_targets(mock.Location(x=5.0), [mock.Location(x=100.0)])
+    total = tracker.route_length
+    assert 85.0 < total < 105.0
+    assert tracker.plan_gps and tracker.plan_world
+
+    # drive 30 m: waypoints behind are popped, completion accumulates
+    traveled = tracker.truncate((35.0, 0.0))
+    assert traveled == pytest.approx(30.0, abs=8.0)
+    assert tracker.route_completed == traveled
+    assert tracker.route[0][0].transform.location.x >= 25.0
+    assert not tracker.is_completed(mock.Location(x=35.0), mock.Location(x=100.0))
+
+    # walk the rest tick-by-tick (truncation has a 50 m look-ahead window,
+    # matching the reference's per-tick usage) and drive past the end
+    for x in np.arange(36.0, 106.0, 2.0):
+        tracker.truncate((float(x), 0.0))
+    assert tracker.route_completed == pytest.approx(total, abs=1.0)
+    assert tracker.is_completed(mock.Location(x=99.5), mock.Location(x=100.0))
+
+
+def test_route_tracker_endless_extension(mock, planner):
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import RouteTracker
+
+    spawn = [
+        (mock.Waypoint(t.location.x).road_id, t)
+        for t in mock._Map().get_spawn_points()
+    ]
+    tracker = RouteTracker(planner, mock._Map())
+    # the mock road is a finite directed line (max reachable ~84 m from x=5);
+    # unreachable (backward) targets are skipped, reachable ones chained
+    tracker.extend_random(
+        mock.Location(x=5.0), spawn, np.random.default_rng(0), min_length=70.0
+    )
+    assert tracker.route_length >= 70.0
+    xs = [wp.transform.location.x for wp, _ in tracker.route]
+    assert all(b >= a - 1e-9 for a, b in zip(xs, xs[1:]))  # forward-only chain
+
+
+def test_env_uses_first_party_planner(mock, monkeypatch):
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import CarlaDrivingEnv
+
+    env = CarlaDrivingEnv(seed=11, route_min_length=60.0)  # ego spawns at x=10
+    obs = env.reset()
+    assert env.tracker is not None  # planner built from mock topology
+    assert len(env.route) > 10
+    # commands on the route come from RoadOption turn decisions (4=LANEFOLLOW)
+    cmds = {cmd for _, cmd in env.route}
+    assert cmds <= {1, 2, 3, 4, 5, 6}
+    for _ in range(20):
+        obs, reward, done, info = env.step({0: np.array([0.8, 0.0, 0.0])})
+    assert env.completed_m > 0.5  # route-based distance accounting
+    assert np.isfinite(reward)

@@ -38,6 +38,7 @@ def _script_route(env, start_x):
     env.ego.transform.location.y = 0.0
     env.ego.transform.rotation.yaw = 0.0
     env.ego.speed = 0.0
+    env.tracker = None  # pin the scripted xy route (bypass the route planner)
     env.route = [((float(x), 0.0), 4) for x in range(int(start_x), int(start_x) + 200)]
     env._route_idx = 0
     env._prev_loc_xy = np.array([start_x, 0.0])
