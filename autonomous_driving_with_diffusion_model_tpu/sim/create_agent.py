@@ -52,6 +52,37 @@ def _carla_native_factory(env_config, seed: int = 0):
     )
 
 
+def _register_suite_factories():
+    """Benchmark env ids (NoCrash-v0..3, CoRL2017-v0..3, LeaderBoard-v0,
+    Endless-v0) over the native env + sim.suites task builders
+    (reference: carla_gym/__init__.py:9-66)."""
+    from .suites import SUITES
+
+    def make(env_id):
+        def _factory(env_config, seed: int = 0):
+            from .carla_env import CarlaDrivingEnv
+            from .suites import build_suite_tasks
+
+            suite_kwargs = dict(env_config.get("suite", {}))
+            tasks = build_suite_tasks(env_id, **suite_kwargs)
+            return CarlaDrivingEnv(
+                host=env_config.get("host", "localhost"),
+                port=env_config.get("port", 2000),
+                town=env_config.get("town", suite_kwargs.get("carla_map")),
+                seed=seed,
+                eval_mode=env_config.get("eval_mode", env_id != "Endless-v0"),
+                tasks=tasks,
+            )
+
+        return _factory
+
+    for env_id in SUITES:
+        ENV_FACTORIES[env_id] = make(env_id)
+
+
+_register_suite_factories()
+
+
 @register_env_factory("carla_roach")
 def _carla_roach_factory(env_config, seed: int = 0):
     """The reference stack: requires the carla package + a carla_gym install
