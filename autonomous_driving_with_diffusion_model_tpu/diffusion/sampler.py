@@ -57,6 +57,9 @@ class SamplerConfig(NamedTuple):
     # known trajectory region (target_traj/target_mask passed at call time)
     # into every reverse step.
     inpainting: bool = False
+    # lax.scan unroll factor: >1 fuses across denoise steps (cuts per-step
+    # sequencing overhead at small batch; larger program / compile time)
+    unroll: int = 1
 
 
 def _anchor(trajs: jax.Array) -> jax.Array:
@@ -196,7 +199,7 @@ def make_sampler(
             return _anchor(trajs), None
 
         xs = (ts, prev_ts, noise_seq) if needs_noise else (ts, prev_ts)
-        trajs, _ = jax.lax.scan(body, trajs, xs)
+        trajs, _ = jax.lax.scan(body, trajs, xs, unroll=cfg.unroll)
 
         trajs = jnp.clip(trajs.astype(jnp.float32), -1.0, 1.0)
         if cfg.scale_to_meters:
@@ -227,6 +230,7 @@ def sampler_from_cfg(model, schedule, cfg, *, for_training_eval: bool = False) -
             ),
             hoist_perception=bool(cfg.TPU.HOIST_PERCEPTION),
             scale_to_meters=False,
+            unroll=int(cfg.TPU.SCAN_UNROLL),
         )
     else:
         scfg = SamplerConfig(
@@ -244,5 +248,6 @@ def sampler_from_cfg(model, schedule, cfg, *, for_training_eval: bool = False) -
             loss_list=cfg.GUIDANCE.LOSS_LIST,
             hoist_perception=bool(cfg.TPU.HOIST_PERCEPTION),
             scale_to_meters=True,
+            unroll=int(cfg.TPU.SCAN_UNROLL),
         )
     return make_sampler(model, schedule, scfg)

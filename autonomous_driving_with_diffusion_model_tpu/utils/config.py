@@ -249,6 +249,10 @@ def create_cfg() -> CfgNode:
     cfg.TPU.FIXED_INIT_NOISE = True
     # Run Conv1dBlocks as one fused Pallas kernel (conv+GN+Mish) on TPU.
     cfg.TPU.USE_PALLAS_CONV = False
+    # lax.scan unroll factor for the fused sampling loop: >1 lets XLA fuse
+    # across denoise steps, cutting per-step sequencing overhead at batch 1
+    # (costs compile time and program size; 1 = no unrolling).
+    cfg.TPU.SCAN_UNROLL = 1
     return cfg
 
 
