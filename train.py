@@ -22,13 +22,13 @@ import time
 import numpy as np
 
 
-def parse_args():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None, type=str)
     parser.add_argument("--generate-only", default=False, action="store_true")
     parser.add_argument("--max-iter", default=None, type=int, help="override TRAIN.MAX_ITER")
     parser.add_argument("--opts", nargs=argparse.REMAINDER, default=None, type=str)
-    return parser.parse_args()
+    return parser.parse_args(argv)
 
 
 def evaluate(cfg, model, variables, schedule, filename=None, rng_seed=None):
@@ -155,7 +155,16 @@ def main(args):
     if cfg.TRAIN.RESUME is not None:
         assert osp.exists(cfg.TRAIN.RESUME), "Resume file not found"
         logging.info("Resume checkpoint from %s...", cfg.TRAIN.RESUME)
-        state = import_torch_checkpoint(cfg.TRAIN.RESUME, cfg, state)
+        if osp.isdir(cfg.TRAIN.RESUME):
+            # native Orbax format (the directories save_orbax writes every
+            # SAVE_INTERVAL); .pth stays supported for torch checkpoints
+            from autonomous_driving_with_diffusion_model_tpu.train.checkpoint import (
+                restore_orbax,
+            )
+
+            state = restore_orbax(cfg.TRAIN.RESUME, state)
+        else:
+            state = import_torch_checkpoint(cfg.TRAIN.RESUME, cfg, state)
 
     if args.generate_only:
         ema_vars = {"params": state.ema.shadow_params, "batch_stats": state.batch_stats}
