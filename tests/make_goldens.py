@@ -1,0 +1,261 @@
+"""Regenerate the committed golden .npz packs from the torch reference oracle.
+
+Run from the repo root with the reference mounted at /root/reference and
+torch installed:
+
+    python tests/make_goldens.py
+
+Each pack freezes, for one guidance mode, everything needed to verify the
+fused sampler WITHOUT torch or the reference checkout:
+
+- inputs: ``init`` (1,16,7), ``target`` (1,2)
+- ``img_feature``: the torch ResNet-34 perception output for a fixed image
+  (committing the feature instead of the 85 MB encoder weights keeps packs
+  ~1 MB; encoder parity itself is covered by tests/test_model_parity.py
+  against the live oracle)
+- the converted flax U-Net weights minus the perception subtree
+  (``param:<path>`` arrays)
+- per-step torch model outputs ``step_outputs`` (S,1,16,7) and per-step
+  trajectories ``step_trajs`` after our DDIM math + anchoring
+- ``expected``: the final clipped, meter-scaled trajectory
+
+tests/test_goldens.py consumes these; parity tests that need the live oracle
+keep their importorskip fallback.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+for p in (REPO, REF):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import torch  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from autonomous_driving_with_diffusion_model_tpu.diffusion import (  # noqa: E402
+    StepConfig,
+    ddim_step,
+    ddim_variance,
+    leading_timesteps,
+    make_schedule,
+)
+from autonomous_driving_with_diffusion_model_tpu.models import (  # noqa: E402
+    torch_state_dict_to_variables,
+)
+from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg  # noqa: E402
+from autonomous_driving_with_diffusion_model_tpu.utils.constants import MAGIC_NUM  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+DIM = 8
+STEPS = {"no_guidance": 10, "free_guidance": 5, "classifier_guidance": 2}
+FREE_SCALE = 7.5
+CLASSIFIER_SCALE = 15.0
+
+
+def build_ref_model(use_cond_name: str, seed: int = 0):
+    import modeling.resnet as ref_resnet
+    import modeling.temporal as ref_temporal
+    from misc.constant import GuidanceType as RefGuidance
+
+    orig = ref_resnet.resnet34
+    ref_temporal.resnet34 = lambda pretrained=True, **kw: orig(pretrained=False, **kw)
+    try:
+        torch.manual_seed(seed)
+        return ref_temporal.TemporalMapUnet(
+            horizon=16, transition_dim=7, attention=False, dim=DIM,
+            dim_mults=(1, 2, 4, 8), use_cond=RefGuidance[use_cond_name.upper()],
+        ).eval()
+    finally:
+        ref_temporal.resnet34 = orig
+
+
+def flatten_params(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_params(v, path))
+        else:
+            out[path] = np.asarray(v, np.float32)
+    return out
+
+
+def make_pack(mode: str):
+    rng = np.random.default_rng(42)
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    target = rng.standard_normal((1, 2)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+    tmodel = build_ref_model(mode)
+    cfg = create_cfg()
+    cfg.MODEL.DIM = DIM
+    cfg.TRAIN.USE_COND = mode.upper()
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+
+    with torch.inference_mode():
+        img_feature = tmodel.perception(img_t).numpy()
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    steps = STEPS[mode]
+    ts, prev_ts = leading_timesteps(100, steps)
+
+    step_outputs, step_trajs = [], []
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    feat_t = torch.from_numpy(img_feature)
+    for t, prev_t in zip(ts, prev_ts):
+        if mode == "free_guidance":
+            cond_t = torch.from_numpy(
+                np.concatenate([target, np.zeros_like(target)], axis=0)
+            )
+            with torch.inference_mode():
+                x2 = torch.from_numpy(np.concatenate([trajs, trajs], axis=0))
+                out_c, out_u = tmodel(
+                    x2, img_t, torch.tensor([float(t)]), cond=cond_t
+                ).chunk(2, dim=0)
+                out = (out_u + FREE_SCALE * (out_c - out_u)).numpy()
+        else:
+            with torch.inference_mode():
+                out = tmodel(
+                    torch.from_numpy(trajs), img_t, torch.tensor([float(t)])
+                ).numpy()
+        step_outputs.append(out.copy())
+        nxt, _ = ddim_step(
+            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
+            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        )
+        trajs = np.array(nxt)
+        trajs[:, 0, :3] = 0.0
+        step_trajs.append(trajs.copy())
+
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+
+    params = {k: v for k, v in flatten_params(variables["params"]).items()
+              if not k.startswith("perception")}
+    pack = {
+        "init": init,
+        "target": target,
+        "img_feature": img_feature.astype(np.float32),
+        "step_outputs": np.stack(step_outputs),
+        "step_trajs": np.stack(step_trajs),
+        "expected": expected,
+        "ts": np.asarray(ts, np.int32),
+        "prev_ts": np.asarray(prev_ts, np.int32),
+        "meta_dim": np.asarray(DIM),
+        "meta_free_scale": np.asarray(FREE_SCALE, np.float32),
+        "meta_classifier_scale": np.asarray(CLASSIFIER_SCALE, np.float32),
+    }
+    for k, v in params.items():
+        pack[f"param:{k}"] = v
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"sampling_{mode}.npz")
+    np.savez_compressed(path, **pack)
+    print(f"{path}: {os.path.getsize(path) / 1e6:.2f} MB, {steps} steps")
+
+
+def make_classifier_pack():
+    """Classifier guidance needs the reference's fixed hidden_dim=64
+    TrajPredict, so the U-Net must be dim=64 — too large to commit. Instead
+    freeze the recorded per-step (action, time_embed) pairs, the guided
+    outputs, and ONLY the state_pred (TrajPredict) weights: the golden test
+    re-runs our predict_state network + jax.grad guidance transform + DDIM
+    chain against them (U-Net forward parity is covered at dim=8 by the
+    other packs; full classifier network parity stays in test_e2e_parity.py
+    against the live oracle)."""
+    from control.guidance import GuidanceLoss as RefGuidanceLoss
+
+    rng = np.random.default_rng(42)
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    target = rng.standard_normal((1, 2)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+    global DIM
+    dim_saved, DIM = DIM, 64
+    try:
+        tmodel = build_ref_model("classifier_guidance")
+    finally:
+        DIM = dim_saved
+    cfg = create_cfg()
+    cfg.MODEL.DIM = 64
+    cfg.TRAIN.USE_COND = "CLASSIFIER_GUIDANCE"
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+
+    gcfg = create_cfg()
+    gcfg.GUIDANCE.CLASSIFIER_SCALE = CLASSIFIER_SCALE
+    gcfg.GUIDANCE.LOSS_LIST = [["TargetGuidance", []]]
+    ref_guidance = RefGuidanceLoss(gcfg)
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    steps = STEPS["classifier_guidance"]
+    ts, prev_ts = leading_timesteps(100, steps)
+
+    actions, time_embeds, guided_outs, step_trajs = [], [], [], []
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    for t, prev_t in zip(ts, prev_ts):
+        action, time_embed = tmodel(
+            torch.from_numpy(trajs), img_t, torch.tensor([float(t)]),
+            return_action_and_time_only=True,
+        )
+        action = action.detach().requires_grad_()
+        state = tmodel.state_pred(action[:, :-1], time_embed.detach())
+        state = torch.cat([torch.zeros_like(state[:, :1]), state], dim=1)
+        model_output = torch.cat([state, action], dim=-1)
+        variance = float(
+            ddim_variance(schedule, jnp.asarray(int(t)), jnp.asarray(int(prev_t)))
+        )
+        out = ref_guidance(
+            model_output, action, torch.from_numpy(target), float(np.exp(0.5 * variance))
+        ).detach().numpy()
+        actions.append(action.detach().numpy().copy())
+        time_embeds.append(time_embed.detach().numpy().copy())
+        guided_outs.append(out.copy())
+        nxt, _ = ddim_step(
+            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
+            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        )
+        trajs = np.array(nxt)
+        trajs[:, 0, :3] = 0.0
+        step_trajs.append(trajs.copy())
+
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+
+    params = {k: v for k, v in flatten_params(variables["params"]).items()
+              if k.startswith("state_pred")}
+    pack = {
+        "init": init,
+        "target": target,
+        "step_actions": np.stack(actions),
+        "step_time_embeds": np.stack(time_embeds),
+        "step_guided": np.stack(guided_outs),
+        "step_trajs": np.stack(step_trajs),
+        "expected": expected,
+        "ts": np.asarray(ts, np.int32),
+        "prev_ts": np.asarray(prev_ts, np.int32),
+        "meta_dim": np.asarray(64),
+        "meta_classifier_scale": np.asarray(CLASSIFIER_SCALE, np.float32),
+    }
+    for k, v in params.items():
+        pack[f"param:{k}"] = v
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, "sampling_classifier_guidance.npz")
+    np.savez_compressed(path, **pack)
+    print(f"{path}: {os.path.getsize(path) / 1e6:.2f} MB, {steps} steps")
+
+
+if __name__ == "__main__":
+    for mode in ("no_guidance", "free_guidance"):
+        make_pack(mode)
+    make_classifier_pack()
