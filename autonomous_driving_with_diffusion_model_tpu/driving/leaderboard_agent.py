@@ -43,11 +43,52 @@ def _vehicle_control(throttle=0.0, steer=0.0, brake=0.0):
         return SimpleNamespace(throttle=float(throttle), steer=float(steer), brake=float(brake))
 
 
+def _track_sensors():
+    """The harness's Track.SENSORS enum when the vendored leaderboard package
+    is importable (AgentWrapper.validate_sensor_configuration compares enum
+    identity, agent_wrapper.py:263-271); plain string otherwise."""
+    try:
+        from leaderboard.autoagents.autonomous_agent import Track
+
+        return Track.SENSORS
+    except ImportError:
+        return "SENSORS"
+
+
 class DiffusionAgent:
-    """Track.SENSORS leaderboard agent driven by the diffusion planner."""
+    """Track.SENSORS leaderboard agent driven by the diffusion planner.
+
+    Constructor/``__call__`` mirror the harness's AutonomousAgent base
+    (autonomous_agent.py:37-121) so the leaderboard evaluator can instantiate
+    this class directly by reflection and AgentWrapper can drive it."""
+
+    def __init__(self, path_to_conf_file=None, route_index=None):
+        self._global_plan = None
+        self._global_plan_world_coord = None
+        self.wallclock_t0 = None
+        try:  # harness-provided frame-synced sensor buffer
+            from leaderboard.envs.sensor_interface import SensorInterface
+
+            self.sensor_interface = SensorInterface()
+        except ImportError:
+            self.sensor_interface = None
+        self.setup(path_to_conf_file, route_index)
+
+    def __call__(self):
+        """Drive one step from the harness sensor interface
+        (autonomous_agent.py:101-121)."""
+        from srunner.scenariomanager.timer import GameTime
+
+        input_data = self.sensor_interface.get_data()
+        timestamp = GameTime.get_time()
+        if not self.wallclock_t0:
+            self.wallclock_t0 = GameTime.get_wallclocktime()
+        control = self.run_step(input_data, timestamp)
+        control.manual_gear_shift = False
+        return control
 
     def setup(self, path_to_conf_file, route_index=None):
-        self.track = "SENSORS"
+        self.track = _track_sensors()
         self.step = -1
         self.initialized = False
         cfg = create_cfg()

@@ -26,8 +26,10 @@ class RoutePlanner:
         """global_plan_world: iterable of (transform-or-(x, y), command)."""
         self.route.clear()
         for pos, cmd in global_plan_world:
-            if hasattr(pos, "location"):
+            if hasattr(pos, "location"):  # carla.Transform
                 pos = np.array([pos.location.x, pos.location.y])
+            elif hasattr(pos, "x"):  # carla.Location (what the harness passes)
+                pos = np.array([pos.x, pos.y])
             else:
                 pos = np.asarray(pos, dtype=np.float64)
             self.route.append((pos, cmd))
