@@ -1,0 +1,111 @@
+"""Map-rasterizer fidelity against the reference's committed Town01 masks
+(VERDICT r1 weak #8): extract the true centerline/width of a straight Town01
+road from the reference's own .h5 road mask, rasterize it with our
+lane-strip rasterizer, and IoU-compare the two masks over that window."""
+
+import os
+
+import numpy as np
+import pytest
+
+TOWN01_H5 = "/root/reference/carla_gym/core/obs_manager/birdview/maps/Town01.h5"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(TOWN01_H5), reason="reference Town01.h5 not mounted"
+)
+
+
+def _load_town01():
+    h5py = pytest.importorskip("h5py")
+    with h5py.File(TOWN01_H5, "r", libver="latest", swmr=True) as hf:
+        return (
+            np.array(hf["road"], np.uint8),
+            np.array(hf.attrs["world_offset_in_meters"], np.float64),
+            float(hf.attrs["pixels_per_meter"]),
+        )
+
+
+def _column_band(road, x, y_probe):
+    """(center, height) of the road band containing y_probe at column x."""
+    col = np.flatnonzero(road[:, x])
+    if not len(col):
+        return None
+    for g in np.split(col, np.where(np.diff(col) > 1)[0] + 1):
+        if g[0] <= y_probe <= g[-1]:
+            return 0.5 * (g[0] + g[-1]), float(len(g))
+    return None
+
+
+def _find_straight_road(road, window_px=400):
+    """(x0, x1, center_y(px) per column, height(px) per column) of a straight
+    horizontal road stretch between intersections."""
+    h, w = road.shape
+    for y_probe in range(100, h - 100, 25):
+        on = np.flatnonzero(road[y_probe])
+        if len(on) < window_px:
+            continue
+        splits = np.split(on, np.where(np.diff(on) > 1)[0] + 1)
+        run = max(splits, key=len)
+        if len(run) < window_px:
+            continue
+        # slide a window along the run until every column is a clean band
+        # (intersections merge with crossing roads and blow the height up)
+        for x0 in range(int(run[0]) + 20, int(run[-1]) - window_px - 20, window_px // 4):
+            x1 = x0 + window_px
+            centers, heights = [], []
+            for x in range(x0, x1):
+                band = _column_band(road, x, y_probe)
+                if band is None or not (10 <= band[1] <= 120):
+                    break
+                centers.append(band[0])
+                heights.append(band[1])
+            else:
+                return x0, x1, np.asarray(centers), np.asarray(heights, np.float64)
+    pytest.skip("no straight horizontal road stretch found")
+
+
+def test_rasterizer_road_iou_vs_town01():
+    from autonomous_driving_with_diffusion_model_tpu.sim.map_raster import (
+        LaneStrip,
+        rasterize_map,
+    )
+
+    road, offset, ppm = _load_town01()
+    x0, x1, centers_px, heights_px = _find_straight_road(road)
+
+    # the true strip in world meters (the reference renderer's ground truth)
+    xs_px = np.arange(x0, x1)
+    centerline = np.stack(
+        [xs_px / ppm + offset[0], centers_px / ppm + offset[1]], axis=-1
+    )
+    width = heights_px / ppm
+    out = rasterize_map(
+        [LaneStrip(centerline=centerline, width=width)], pixels_per_meter=ppm
+    )
+
+    # sample both masks on the same world grid, interior of the window only
+    # (trim 5 m at each end where polyline caps differ)
+    trim = int(5 * ppm)
+    inter = union = 0
+    our_offset = np.asarray(out["world_offset_in_meters"], np.float64)
+    our_road = out["road"]
+    ys_probe = np.arange(
+        int(centers_px.mean() - 100), int(centers_px.mean() + 100)
+    )
+    for x in range(x0 + trim, x1 - trim):
+        wx = x / ppm + offset[0]
+        ox = int(round((wx - our_offset[0]) * ppm))
+        for y in ys_probe:
+            wy = y / ppm + offset[1]
+            oy = int(round((wy - our_offset[1]) * ppm))
+            ref_on = bool(road[y, x])
+            got_on = (
+                0 <= oy < our_road.shape[0]
+                and 0 <= ox < our_road.shape[1]
+                and bool(our_road[oy, ox])
+            )
+            inter += ref_on and got_on
+            union += ref_on or got_on
+    iou = inter / max(union, 1)
+    # quantified fidelity bound for the lane-strip approximation
+    assert iou > 0.9, f"road-mask IoU vs reference Town01 = {iou:.3f}"
