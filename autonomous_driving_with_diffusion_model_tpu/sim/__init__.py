@@ -45,6 +45,12 @@ from .route_planner import (
     location_route_to_gps,
     location_to_gps,
 )
+from .scenario_actors import (
+    BasicAgent,
+    ConstantSpeedAgent,
+    ScenarioActorHandler,
+    ScenarioVehicle,
+)
 from .server_utils import CarlaServerManager, kill_carla
 from .suites import (
     SUITES,
@@ -101,6 +107,10 @@ __all__ = [
     "velocity_obs",
     "object_finder_obs",
     "process_obs",
+    "ScenarioActorHandler",
+    "ScenarioVehicle",
+    "ConstantSpeedAgent",
+    "BasicAgent",
     "SUITES",
     "TransformSpec",
     "build_endless_tasks",

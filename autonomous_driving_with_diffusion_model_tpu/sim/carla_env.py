@@ -365,6 +365,9 @@ class CarlaDrivingEnv:
             self.target_speed = task.get("target_speed", self.target_speed)
             self._endless = bool(task.get("endless", not task.get("ego_route")))
             ego_route = list(task.get("ego_route", ()))
+            self._task = task
+        else:
+            self._task = None
         spawn_tf = ego_route[0].as_carla() if ego_route else None
         self._spawn_ego(spawn_transform=spawn_tf)
         self._spawn_zombies(self.num_zombie_vehicles)
@@ -406,6 +409,19 @@ class CarlaDrivingEnv:
         self.reward_fn = ValeoActionReward()
         self.terminal = ValeoTerminal(eval_mode=self.eval_mode)
         self.counters = EpisodeCounters()
+        # scripted adversaries from the task (scenario_actor_handler.py:15-51)
+        self.scenario_handler = None
+        if self._task and self._task.get("scenario_actors"):
+            from .scenario_actors import ScenarioActorHandler
+
+            self.scenario_handler = ScenarioActorHandler(
+                self.world, self.map, self._route_planner, self.tl_registry,
+                rng=self.rng,
+            )
+            self.scenario_handler.reset(
+                self._task["scenario_actors"],
+                self._task.get("scenario_actor_configs", {}),
+            )
         self.sim_time = 0.0
         self.steps = 0
         self.episode_reward = 0.0
@@ -540,6 +556,8 @@ class CarlaDrivingEnv:
                 brake=float(np.clip(control[2], 0, 1)),
             )
         )
+        if self.scenario_handler is not None:
+            self.scenario_handler.tick()  # scripted adversaries act pre-tick
         self.world.tick()
         self._tick_weather()
         self.sim_time += self.fixed_delta
@@ -725,6 +743,9 @@ class CarlaDrivingEnv:
         return obs, reward, done, info
 
     def close_actors(self):
+        if getattr(self, "scenario_handler", None) is not None:
+            self.scenario_handler.clean()
+            self.scenario_handler = None
         for s in self._sensors.values():
             s.destroy()
         self._sensors.clear()

@@ -22,6 +22,8 @@ __all__ = [
     "velocity_obs",
     "object_finder_obs",
     "process_obs",
+    "waypoint_plan_obs",
+    "GnssPlanTracker",
 ]
 
 
@@ -185,3 +187,89 @@ def process_obs(obs: Dict, input_states: Sequence[str], train: bool = True) -> D
         "next_waypoint": next_waypoint,
         "next_command": next_command,
     }
+
+
+# --------------------------------------------------------- navigation obs
+
+
+def waypoint_plan_obs(ev_loc_xy, ev_yaw_deg: float, route_plan, steps: int) -> Dict:
+    """Plan-window observation: the next ``steps`` route entries in the ego
+    frame with command/road/lane/junction annotations (reference:
+    carla_gym/core/obs_manager/navigation/waypoint_plan.py:46-80). The last
+    entry pads short routes."""
+    ev = np.asarray(ev_loc_xy, np.float64)[:2]
+    yaw = np.deg2rad(ev_yaw_deg)
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    location, command, road_id, lane_id, is_junction = [], [], [], [], []
+    for i in range(steps):
+        wp, option = route_plan[min(i, len(route_plan) - 1)]
+        loc = wp.transform.location
+        d = np.array([loc.x - ev[0], loc.y - ev[1]])
+        location.append([c * d[0] - s * d[1], s * d[0] + c * d[1]])
+        command.append(int(getattr(option, "value", option)))
+        road_id.append(wp.road_id)
+        lane_id.append(wp.lane_id)
+        is_junction.append(bool(wp.is_junction))
+    return {
+        "location": np.asarray(location, np.float32),
+        "command": np.asarray(command, np.int8),
+        "road_id": np.asarray(road_id, np.int8),
+        "lane_id": np.asarray(lane_id, np.int8),
+        "is_junction": np.asarray(is_junction, np.int8),
+    }
+
+
+class GnssPlanTracker:
+    """Target-GPS selection over the sparse leaderboard plan (reference:
+    carla_gym/core/obs_manager/navigation/gnss.py:89-143): advance the plan
+    index once the next target is behind the ego and within 12 m; lane-change
+    commands defer to the following command."""
+
+    CHANGE_COMMANDS = (5, 6)  # CHANGELANELEFT / CHANGELANERIGHT
+
+    def __init__(self, global_plan_gps: Sequence):
+        self._plan = [
+            (self._gps_tuple(gps), int(getattr(opt, "value", opt)))
+            for gps, opt in global_plan_gps
+        ]
+        self._idx = -1
+
+    @staticmethod
+    def _gps_tuple(gps):
+        if isinstance(gps, dict):
+            return (float(gps["lat"]), float(gps["lon"]), float(gps.get("z", 0.0)))
+        return tuple(float(v) for v in gps)
+
+    @staticmethod
+    def _gps_to_xy(lat: float, lon: float) -> np.ndarray:
+        from ..driving.gps import gps2xyz
+
+        x, y, _ = gps2xyz(lat, lon, 0.0, lat_ref=0.0, lon_ref=0.0)
+        return np.array([x, y])
+
+    def tick(self, gnss_lat_lon_z, imu7) -> Dict:
+        gnss = np.asarray(gnss_lat_lon_z, np.float64)
+        imu = np.asarray(imu7, np.float64)
+        compass = 0.0 if np.isnan(imu[-1]) else float(imu[-1])
+
+        next_gps, _ = self._plan[min(self._idx + 1, len(self._plan) - 1)]
+        vec = self._gps_to_xy(next_gps[0], next_gps[1]) - self._gps_to_xy(gnss[0], gnss[1])
+        yaw = compass - np.pi / 2.0  # north-referenced compass -> world yaw
+        c, s = np.cos(-yaw), np.sin(-yaw)
+        loc_in_ev = np.array([c * vec[0] - s * vec[1], s * vec[0] + c * vec[1]])
+        if np.linalg.norm(loc_in_ev) < 12.0 and loc_in_ev[0] < 0.0:
+            self._idx += 1
+        self._idx = min(self._idx, len(self._plan) - 2)
+
+        _, cmd0 = self._plan[max(0, self._idx)]
+        gps_point, cmd1 = self._plan[self._idx + 1]
+        if cmd0 in self.CHANGE_COMMANDS and cmd1 not in self.CHANGE_COMMANDS:
+            command = cmd1
+        else:
+            command = cmd0
+        return {
+            "gnss": gnss.astype(np.float32),
+            "imu": imu.astype(np.float32),
+            "target_gps": np.asarray(gps_point, np.float32),
+            "command": np.asarray([command], np.int8),
+        }

@@ -35,9 +35,14 @@ def harness(monkeypatch):
     import mock_carla
 
     monkeypatch.setitem(sys.modules, "carla", mock_carla)
-    for p in (LEADERBOARD, SRUNNER):
-        if p not in sys.path:
-            sys.path.insert(0, p)
+    # other tests put /root/reference itself on sys.path, under which
+    # `leaderboard`/`srunner` resolve as empty namespace packages — purge any
+    # such stale imports and make the real package roots win
+    for name in list(sys.modules):
+        if name == "leaderboard" or name.startswith(("leaderboard.", "srunner")):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    for p in (SRUNNER, LEADERBOARD):
+        monkeypatch.syspath_prepend(p)
 
     # srunner's timer module subclasses py_trees.behaviour.Behaviour
     class _Behaviour:

@@ -73,3 +73,52 @@ def test_process_obs_state_vector_order():
     )
     assert out["camera"].shape == (1, 4, 6, 3)  # eval mode adds batch dim
     assert out["next_command"].shape == (1,)
+
+
+def test_waypoint_plan_obs_window():
+    from types import SimpleNamespace
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.obs import waypoint_plan_obs
+
+    def wp(x, road=1, lane=-1, junction=False):
+        return SimpleNamespace(
+            transform=SimpleNamespace(location=SimpleNamespace(x=float(x), y=0.0)),
+            road_id=road, lane_id=lane, is_junction=junction,
+        )
+
+    plan = [(wp(10 + i, junction=(i == 3)), 4) for i in range(5)]
+    obs = waypoint_plan_obs((10.0, 0.0), 0.0, plan, steps=8)
+    assert obs["location"].shape == (8, 2)
+    # ego-frame x increases along the route; short plan pads with the last wp
+    np.testing.assert_allclose(obs["location"][:5, 0], np.arange(5.0), atol=1e-6)
+    np.testing.assert_allclose(obs["location"][5:, 0], 4.0, atol=1e-6)
+    assert obs["is_junction"][3] == 1 and obs["is_junction"][0] == 0
+    assert (obs["command"] == 4).all()
+
+    # 90-degree ego yaw rotates the plan into the ego frame
+    obs_rot = waypoint_plan_obs((10.0, 0.0), 90.0, plan, steps=2)
+    np.testing.assert_allclose(obs_rot["location"][1], [0.0, -1.0], atol=1e-6)
+
+
+def test_gnss_plan_tracker_advances_and_defers_lane_change():
+    from autonomous_driving_with_diffusion_model_tpu.driving.gps import xyz2gps
+    from autonomous_driving_with_diffusion_model_tpu.sim.obs import GnssPlanTracker
+
+    def gps_at(x, y=0.0):
+        return xyz2gps(x, y, 0.0, lat_ref=0.0, lon_ref=0.0)
+
+    # plan along +x: lane change at entry defers to the following command
+    plan = [(gps_at(0.0), 5), (gps_at(50.0), 4), (gps_at(100.0), 4)]
+    tracker = GnssPlanTracker(plan)
+    imu = np.zeros(7)
+    imu[-1] = np.pi / 2  # compass north-referenced: heading +x
+
+    obs = tracker.tick(gps_at(0.0), imu)
+    assert obs["command"][0] == 5 or obs["command"][0] == 4
+    # drive past the first target: index advances, command becomes LANEFOLLOW
+    obs = tracker.tick(gps_at(5.0), imu)   # target 0 now behind & within 12 m
+    obs = tracker.tick(gps_at(55.0), imu)  # target 1 behind
+    obs = tracker.tick(gps_at(60.0), imu)
+    assert obs["command"][0] == 4
+    tx, _, _ = obs["target_gps"]
+    assert np.isfinite(tx)

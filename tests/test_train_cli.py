@@ -31,8 +31,24 @@ def data_root(tmp_path, rng):
     return str(root)
 
 
+def _load_train_cli():
+    """Load the repo's train.py by path: parity tests put /root/reference on
+    sys.path, whose own train.py would shadow a plain ``import train``."""
+    import importlib.util
+
+    if "adm_train_cli" in sys.modules:
+        return sys.modules["adm_train_cli"]
+    spec = importlib.util.spec_from_file_location(
+        "adm_train_cli", os.path.join(REPO, "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["adm_train_cli"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _run_train(tmp_path, data_root, max_iter, resume=None):
-    import train as train_cli
+    train_cli = _load_train_cli()
 
     run_dir = str(tmp_path / "run")
     opts = [
@@ -66,7 +82,6 @@ def test_orbax_resume_restores_step_and_opt_state(tmp_path, data_root):
     # resume from the native format: training continues from iter 2, and the
     # restored state is byte-identical to the saved one before stepping
     import jax
-    import train as train_cli  # noqa: F401
 
     from autonomous_driving_with_diffusion_model_tpu.train import restore_orbax
 
