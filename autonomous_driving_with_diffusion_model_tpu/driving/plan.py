@@ -127,31 +127,61 @@ class DiffusionPlanner:
         schedule = make_schedule_from_cfg(cfg)
         sampler = sampler_from_cfg(self.model, schedule, cfg)
 
-        # fixed init noise across plans (interact.py:100, diffusion_agent.py:94)
+        # fixed init noise across plans (interact.py:100, diffusion_agent.py:94);
+        # K hypotheses draw K distinct rows of it (TPU.NUM_HYPOTHESES)
         key = jax.random.PRNGKey(seed)
-        traj_shape = (1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)
+        self.num_hypotheses = max(1, int(cfg.TPU.NUM_HYPOTHESES))
+        traj_shape = (self.num_hypotheses, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)
         self.init_trajs = jax.random.normal(key, traj_shape, jnp.float32)
         self._fixed_noise = bool(cfg.TPU.FIXED_INIT_NOISE)
         self._noise_key = jax.random.fold_in(key, 1)
 
         needs_target = self.use_guidance_type != GuidanceType.NO_GUIDANCE
+        hoisted = bool(cfg.TPU.HOIST_PERCEPTION)
+        from ..models.temporal_unet import TemporalMapUnet
 
         def _plan(variables, init_trajs, rgb_u8, target, rng):
+            """One fused program: normalize + encode the frame ONCE, denoise
+            K hypotheses in a single scan, score them, return (trajs, best)."""
             image = normalize_images(rgb_u8)[None]  # (1, H, W, 3), fused on device
-            return sampler(
+            K = init_trajs.shape[0]
+            kwargs = {}
+            if hoisted:
+                feat = self.model.apply(
+                    variables, image, train=False, method=TemporalMapUnet.encode_image
+                )
+                kwargs["img_feature"] = jnp.tile(feat, (K, 1))
+            else:  # strict mode re-encodes per step; tile the image instead
+                kwargs["image"] = jnp.tile(image, (K, 1, 1, 1))
+            trajs = sampler(
                 variables,
                 init_trajs,
-                image=image,
-                target=target if needs_target else None,
+                target=jnp.tile(target, (K, 1)) if needs_target else None,
                 rng=rng,
+                **kwargs,
             )
+            if needs_target:
+                # closest final waypoint to the (normalized) target point
+                err = trajs[:, -1, :2] / MAGIC_NUM - target[0][None]
+                score = jnp.sum(err * err, axis=-1)
+            else:
+                # comfort: minimum squared jerk over the xy path
+                jerk = jnp.diff(trajs[..., :2], n=2, axis=1)
+                score = jnp.sum(jerk * jerk, axis=(1, 2))
+            return trajs, jnp.argmin(score)
 
         self._plan = jax.jit(_plan)
 
     def plan(self, rgb_u8: np.ndarray, target: Optional[np.ndarray] = None) -> np.ndarray:
         """rgb_u8: (H, W, 3) uint8 RGB frame; target: (2,) or (1, 2) ego-frame
         normalized target point. Returns (1, horizon, 7) numpy trajectory with
-        xy in meters (clamped + magic-scaled, interact.py:166-167)."""
+        xy in meters (clamped + magic-scaled, interact.py:166-167). With
+        TPU.NUM_HYPOTHESES > 1 this is the best-scoring of K sampled plans."""
+        trajs, best = self.plan_hypotheses(rgb_u8, target)
+        return trajs[int(best)][None]
+
+    def plan_hypotheses(self, rgb_u8: np.ndarray, target: Optional[np.ndarray] = None):
+        """All K hypotheses: ((K, horizon, 7) trajectories, best index)."""
         import jax
         import jax.numpy as jnp
 
@@ -162,13 +192,12 @@ class DiffusionPlanner:
             self._noise_key, sub = jax.random.split(self._noise_key)
             init = jax.random.normal(sub, self.init_trajs.shape, jnp.float32)
             rng = sub
-        tgt = None
         if target is not None:
             tgt = jnp.asarray(np.asarray(target, np.float32).reshape(1, 2))
         else:
             tgt = jnp.zeros((1, 2), jnp.float32)
-        out = self._plan(self.variables, init, jnp.asarray(rgb_u8), tgt, rng)
-        return np.asarray(out)
+        trajs, best = self._plan(self.variables, init, jnp.asarray(rgb_u8), tgt, rng)
+        return np.asarray(trajs), int(best)
 
     # ---------------------------------------------------------------- control
 

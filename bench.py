@@ -178,6 +178,15 @@ def main():
     p50_cfg10 = chained_ms(plan_cfg, variables_f, init1, img, target)
     _log(f"CFG-10 bf16 device = {p50_cfg10:.2f} ms")
 
+    # multi-hypothesis closed-loop plan: best-of-8 trajectories per frame in
+    # the same fused program (perception encoded once, scan at batch 8)
+    init8 = jnp.asarray(rng.standard_normal((8, 16, 7)), jnp.float32)
+    target8 = jnp.tile(target, (8, 1))
+    _log("compiling CFG DDIM-10 K=8 multi-hypothesis plan...")
+    p50_cfg10_k8 = chained_ms(plan_cfg, variables_f, init8, img, target8)
+    _log(f"CFG-10 bf16 K=8 device = {p50_cfg10_k8:.2f} ms "
+         f"({p50_cfg10_k8 / p50_cfg10:.2f}x single for 8x plans)")
+
     p50 = p50_bf16  # headline: default deployment dtype
     result = {
         "metric": "p50_plan_latency_ms_ddim50_bf16",
@@ -188,6 +197,7 @@ def main():
             "platform": str(jax.devices()[0]),
             "p50_plan_latency_ms_ddim50_fp32": round(p50_fp32, 3),
             "p50_plan_latency_ms_cfg_ddim10_bf16": round(p50_cfg10, 3),
+            "p50_plan_latency_ms_cfg_ddim10_bf16_k8_hypotheses": round(p50_cfg10_k8, 3),
             "p50_strict_perception_per_step_fp32_ms": round(p50_strict, 3),
             "hoisted_vs_strict_speedup": round(p50_strict / p50_fp32, 2),
             "scan_unroll": best_unroll,
