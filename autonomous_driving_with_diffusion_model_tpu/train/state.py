@@ -110,6 +110,26 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
         power=cfg.TRAIN.EMA_POWER,
     )
 
+    def _forward(params, batch_stats, noise_data, image, t, cond, dropout_key):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            noise_data,
+            img=image,
+            time=t,
+            cond=cond,
+            train=True,
+            deterministic=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+
+    if bool(getattr(cfg.TPU, "REMAT", False)):
+        # rematerialize the forward on the backward pass: trades ~1/3 more
+        # FLOPs for dropping all encoder/U-Net activations from HBM, the
+        # standard lever for batch >64 at 900x256 (docs/ROADMAP "training at
+        # scale"). Gradients are bitwise-identical (tests/test_train.py).
+        _forward = jax.checkpoint(_forward)
+
     def loss_fn(params, batch_stats, batch, rng):
         trajs = batch["trajs"].astype(jnp.float32)
         image = batch["image"].astype(jnp.float32)
@@ -128,17 +148,9 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
             keep = jax.random.uniform(rng_drop, ()) <= keep_prob
             cond = jnp.where(keep, batch["target"].astype(jnp.float32), 0.0)
 
-        variables = {"params": params, "batch_stats": batch_stats}
-        pred, mutated = model.apply(
-            variables,
-            noise_data,
-            img=image,
-            time=t.astype(jnp.float32),
-            cond=cond,
-            train=True,
-            deterministic=False,
-            mutable=["batch_stats"],
-            rngs={"dropout": rng_dropout},
+        pred, mutated = _forward(
+            params, batch_stats, noise_data, image, t.astype(jnp.float32),
+            cond, rng_dropout,
         )
         target = noise if pred_type == "epsilon" else trajs
         if pred_type not in ("epsilon", "sample"):

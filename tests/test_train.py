@@ -210,3 +210,25 @@ def test_torch_checkpoint_roundtrip_and_reference_load(tmp_path, rng):
     ).pow(2).mean()
     loss.backward()
     opt.step()  # must not raise: moments aligned with params
+
+
+def test_remat_gradients_identical(rng):
+    """TPU.REMAT recomputes activations on backward; the optimizer step and
+    loss must be bitwise-identical to the non-remat step."""
+    states, metrics = [], []
+    for remat in (False, True):
+        cfg = tiny_cfg()
+        cfg.TPU.REMAT = remat
+        model, state = init_state(cfg, np.random.default_rng(0))
+        schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
+        step = jax.jit(make_train_step(model, schedule, cfg))
+        batch = make_batch(np.random.default_rng(1), 8)
+        new_state, m = step(state, batch, jax.random.PRNGKey(0))
+        states.append(new_state)
+        metrics.append(m)
+    assert float(metrics[0]["loss"]) == float(metrics[1]["loss"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        states[0].params,
+        states[1].params,
+    )
