@@ -24,6 +24,7 @@ from .criteria import (
     RunStopSign,
 )
 from .expert import ExpertPID, LocalPlanner, RoadOption, expert_control
+from .noiser import ExpertNoiser
 from .obs import (
     ActorState,
     control_obs,
@@ -62,7 +63,12 @@ from .suites import (
     build_suite_tasks,
     parse_suite_routes,
 )
-from .terminal import ValeoTerminal
+from .terminal import (
+    LeaderboardDaggerTerminal,
+    LeaderboardTerminal,
+    ValeoStuckTerminal,
+    ValeoTerminal,
+)
 from .traffic_lights import (
     LaneObservation,
     StopSignRegistry,
@@ -94,6 +100,10 @@ __all__ = [
     "lbc_hazard_vehicle",
     "lbc_hazard_walker",
     "ValeoTerminal",
+    "ValeoStuckTerminal",
+    "LeaderboardTerminal",
+    "LeaderboardDaggerTerminal",
+    "ExpertNoiser",
     "DynamicWeather",
     "Sun",
     "Storm",

@@ -24,6 +24,7 @@ __all__ = [
     "process_obs",
     "waypoint_plan_obs",
     "GnssPlanTracker",
+    "stop_sign_obs",
 ]
 
 
@@ -273,3 +274,17 @@ class GnssPlanTracker:
             "target_gps": np.asarray(gps_point, np.float32),
             "command": np.asarray([command], np.int8),
         }
+
+
+def stop_sign_obs(ev_loc, target_trigger_loc, stop_completed: bool,
+                  distance_threshold: float = 4.0) -> Dict:
+    """at_stop_sign flag: the criterion's targeted, not-yet-completed sign is
+    within threshold (reference: obs_manager/object_finder/stop_sign.py:20-34)."""
+    at = 0
+    if target_trigger_loc is not None and not stop_completed:
+        d = np.linalg.norm(
+            np.asarray(ev_loc, np.float64)[:2] - np.asarray(target_trigger_loc, np.float64)[:2]
+        )
+        if d < distance_threshold:
+            at = 1
+    return {"at_stop_sign": at}
