@@ -1,0 +1,66 @@
+"""Suite evaluation CLI: closed-loop routes -> _checkpoint JSON -> aggregate."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+AGENT_OPTS = [
+    "MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny", "EVAL.SAMPLE_STEPS", "2",
+]
+
+
+def test_fake_env_smoke(tmp_path):
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluate_cli import main
+
+    ckpt = tmp_path / "ckpt.json"
+    data = main([
+        "--env-id", "Endless-v0", "--weather-group", "simple", "--fake-env",
+        "--checkpoint-json", str(ckpt), "--max-steps", "15",
+        "--opts", *AGENT_OPTS,
+    ])
+    records = data["_checkpoint"]["records"]
+    assert len(records) == 1  # simple weather group -> one Endless task
+    assert records[0]["status"] in ("Completed",)
+    assert records[0]["num_steps"] > 0
+    saved = json.loads(ckpt.read_text())
+    assert saved["_checkpoint"]["progress"] == [1, 1]
+
+
+def test_native_env_counts_infractions(tmp_path, monkeypatch):
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluate_cli import main
+
+    ckpt = tmp_path / "ckpt.json"
+    data = main([
+        "--env-id", "Endless-v0", "--weather-group", "simple",
+        "--checkpoint-json", str(ckpt), "--max-steps", "25",
+        "--opts", *AGENT_OPTS,
+    ])
+    rec = data["_checkpoint"]["records"][0]
+    # real counters_fn wired: infraction lists come from the env's counters
+    assert set(rec["infractions"]) >= {"red_light", "collisions_vehicle"}
+    assert np.isfinite(rec["scores"]["score_composed"])
+    assert rec["status"] in ("Completed", "Failed - Agent crashed"), rec["crash_message"]
+    assert rec["status"] == "Completed", rec["crash_message"]
+
+
+def test_resume_skips_finished_routes(tmp_path):
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluate_cli import main
+
+    ckpt = tmp_path / "ckpt.json"
+    args = [
+        "--env-id", "Endless-v0", "--weather-group", "train_eval", "--fake-env",
+        "--checkpoint-json", str(ckpt), "--max-steps", "10",
+        "--opts", *AGENT_OPTS,
+    ]
+    data = main(args)
+    assert len(data["_checkpoint"]["records"]) == 2  # train_eval = 2 weathers
+    before = json.loads(ckpt.read_text())
+    data2 = main(args)  # resume: nothing re-run, records unchanged
+    assert [r["route_id"] for r in data2["_checkpoint"]["records"]] == [
+        r["route_id"] for r in before["_checkpoint"]["records"]
+    ]
