@@ -147,3 +147,42 @@ def strips_from_carla_map(carla_map, precision: float = 1.0) -> List[LaneStrip]:
                 )
             )
     return strips
+
+
+def main(argv=None):
+    """Map-generation CLI (reference: carla_gym/utils/birdview_map.py CLI +
+    config_utils.py:12-53 check): connect to a CARLA server, march each town's
+    lane topology, rasterize, and save the renderer-compatible .h5.
+
+        python -m autonomous_driving_with_diffusion_model_tpu.sim.map_raster \
+            --towns Town01 Town02 --save-dir maps --pixels-per-meter 5.0
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", default=2000, type=int)
+    parser.add_argument("--towns", nargs="+", default=["Town01"])
+    parser.add_argument("--save-dir", required=True)
+    parser.add_argument("--pixels-per-meter", default=5.0, type=float)
+    parser.add_argument("--precision", default=1.0, type=float)
+    args = parser.parse_args(argv)
+
+    import carla
+
+    client = carla.Client(args.host, args.port)
+    client.set_timeout(60.0)
+    os.makedirs(args.save_dir, exist_ok=True)
+    for town in args.towns:
+        world = client.load_world(town)
+        carla_map = world.get_map()
+        strips = strips_from_carla_map(carla_map, precision=args.precision)
+        masks = rasterize_map(strips, pixels_per_meter=args.pixels_per_meter)
+        path = os.path.join(args.save_dir, f"{town}.h5")
+        save_h5(path, masks)
+        print(f"{path}: {len(strips)} lane strips, {masks['road'].shape} px")
+
+
+if __name__ == "__main__":
+    main()

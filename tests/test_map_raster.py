@@ -56,3 +56,32 @@ def test_h5_roundtrip_feeds_renderer(tmp_path):
     # the generated road renders under the ego
     assert out["masks"][0].sum() > 0  # road channel
     assert (out["rendered"] != 0).any()
+
+
+def test_full_town_generation_flow(tmp_path, monkeypatch):
+    """Whole pipeline on the mock town: topology march -> rasterize ->
+    save_h5 -> BirdviewRenderer.from_h5 -> rendered frame shows the road
+    (the reference's birdview_map.py CLI + chauffeurnet consumption loop)."""
+    import sys
+
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    from autonomous_driving_with_diffusion_model_tpu.sim.birdview import BirdviewRenderer
+    from autonomous_driving_with_diffusion_model_tpu.sim.map_raster import main
+
+    out = tmp_path / "maps"
+    main(["--towns", "MockTown", "--save-dir", str(out), "--pixels-per-meter", "5.0"])
+    h5_path = out / "MockTown.h5"
+    assert h5_path.exists()
+
+    renderer = BirdviewRenderer.from_h5(str(h5_path), width_in_pixels=192)
+    frame = renderer.tick(
+        ev_loc_xy=(30.0, 0.0), ev_yaw_deg=0.0, ev_extent_xy=(2.45, 1.06),
+        route_xy=np.stack([np.arange(30.0, 80.0, 2.0), np.zeros(25)], axis=-1),
+    )
+    rendered = frame["rendered"]
+    assert rendered.shape == (192, 192, 3)
+    # the road band under the ego is drawn (non-black pixels near the bottom)
+    ego_region = rendered[140:160, 80:112]
+    assert (ego_region.sum(axis=-1) > 0).mean() > 0.5
