@@ -102,10 +102,14 @@ class CarlaDrivingEnv:
         eval_mode: bool = False,
         route_min_length: float = 1000.0,
         tasks: Optional[list] = None,
+        birdview_h5: Optional[str] = None,
     ):
         """``tasks``: optional benchmark task dicts (sim.suites); the env
         cycles through them across resets like the reference's task rotation
-        (carla_multi_agent_env.py task_idx). Without tasks it runs Endless."""
+        (carla_multi_agent_env.py task_idx). Without tasks it runs Endless.
+        ``birdview_h5``: path to a town's global-mask .h5 (sim.map_raster CLI
+        or the reference's maps/); enables the chauffeurnet birdview obs
+        (reference: obs_manager/birdview/chauffeurnet.py)."""
         import carla
 
         self._carla = carla
@@ -146,6 +150,11 @@ class CarlaDrivingEnv:
         self.world.apply_settings(settings)
 
         self._route_planner = self._make_route_planner()
+        self._birdview = None
+        if birdview_h5 is not None:
+            from .birdview import BirdviewRenderer
+
+            self._birdview = BirdviewRenderer.from_h5(birdview_h5)
         self._actors = []
         self._sensors: Dict[str, _SensorQueue] = {}
         self.ego = None
@@ -520,7 +529,43 @@ class CarlaDrivingEnv:
             "next_waypoint": np.asarray([nxt[0]]),
             "next_command": nxt[1],
         }
-        return process_obs(raw, ["yaw", "speed_norm", "control", "vel_xy"], train=False)
+        obs = process_obs(raw, ["yaw", "speed_norm", "control", "vel_xy"], train=False)
+        if self._birdview is not None:
+            obs["birdview"] = self._birdview_obs()
+        return obs
+
+    def _actor_tuples(self, pattern: str):
+        """[(center_xy, yaw_deg, extent_xy)] for the birdview renderer."""
+        out = []
+        for actor in self.world.get_actors().filter(pattern):
+            if self.ego is not None and actor.id == self.ego.id:
+                continue
+            tf = actor.get_transform()
+            bb = getattr(actor, "bounding_box", None)
+            ext = (bb.extent.x, bb.extent.y) if bb is not None else (0.5, 0.5)
+            out.append(((tf.location.x, tf.location.y), tf.rotation.yaw, ext))
+        return out
+
+    def _birdview_obs(self):
+        """Chauffeurnet masks around the ego (reference chauffeurnet.py
+        get_observation: actors + per-color stop lines + route polyline)."""
+        tf = self.ego.get_transform()
+        pos = (tf.location.x, tf.location.y)
+        route_xy = np.asarray(
+            [p for p, _ in self.route[self._route_idx: self._route_idx + 80]]
+        )
+        bb = self.ego.bounding_box.extent
+        return self._birdview.tick(
+            ev_loc_xy=pos,
+            ev_yaw_deg=tf.rotation.yaw,
+            ev_extent_xy=(bb.x, bb.y),
+            vehicles=self._actor_tuples("vehicle.*"),
+            walkers=self._actor_tuples("walker.pedestrian.*"),
+            tl_green=self.tl_registry.get_stopline_vtx(pos, 0),
+            tl_yellow=self.tl_registry.get_stopline_vtx(pos, 1),
+            tl_red=self.tl_registry.get_stopline_vtx(pos, 2),
+            route_xy=route_xy if len(route_xy) else None,
+        )
 
     def _expert_control(self) -> np.ndarray:
         tf = self.ego.get_transform()

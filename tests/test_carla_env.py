@@ -88,3 +88,36 @@ def test_close_restores_async(carla_env):
     carla_env.reset()
     carla_env.close()
     assert carla_env.world.get_settings().synchronous_mode is False
+
+
+def test_birdview_obs_modality(monkeypatch, tmp_path):
+    """Live chauffeurnet birdview obs: masks rendered from the generated town
+    .h5 + the traffic-light registry's per-color stop lines."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import CarlaDrivingEnv
+    from autonomous_driving_with_diffusion_model_tpu.sim.map_raster import main as map_main
+
+    map_main(["--towns", "MockTown", "--save-dir", str(tmp_path)])
+    env = CarlaDrivingEnv(seed=11, birdview_h5=str(tmp_path / "MockTown.h5"))
+    env.world.actors.append(mock_carla.TrafficLight(x=57.0, state="Red"))
+    obs = env.reset()
+    assert "birdview" in obs
+    frame = obs["birdview"]
+    assert frame["rendered"].shape[2] == 3
+    assert frame["masks"].dtype == np.uint8
+    # road drawn around the ego
+    assert (frame["rendered"].sum(axis=-1) > 0).mean() > 0.05
+
+    # drive near the light: the red stop line enters the rendered view
+    env.ego.transform.location.x = 55.0
+    env.tracker = None
+    env.route = [((float(x), 0.0), 4) for x in range(55, 120)]
+    env._route_idx = 0
+    obs, *_ = env.step({0: np.array([0.3, 0.0, 0.0])})
+    rendered = obs["birdview"]["rendered"]
+    # COLOR_RED stop line pixels present (pure red (255,0,0) tint family)
+    red_px = (rendered[..., 0] > 120) & (rendered[..., 1] < 80) & (rendered[..., 2] < 80)
+    assert red_px.any()
+    env.close()
