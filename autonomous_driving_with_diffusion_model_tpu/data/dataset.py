@@ -70,7 +70,13 @@ class Loader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 4,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``shard_index``/``shard_count``: deterministic per-host input
+        sharding for multi-host training — every host shuffles with the same
+        (seed, epoch) and takes a disjoint stride of the permutation, so the
+        global batch is a partition with no coordination traffic."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,16 +84,20 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.shard_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        if self.shard_count > 1:
+            idx = idx[self.shard_index :: self.shard_count]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -142,7 +152,15 @@ class Loader:
 
 def get_loader(cfg, train: bool = True, seed: int = 0) -> Loader:
     """Reference get_loader equivalent (dataset/carla_dataset.py:45-58);
-    augmentation happens on-device, so the loader only decodes."""
+    augmentation happens on-device, so the loader only decodes. Under
+    multi-host jax.distributed each process loads its own disjoint shard."""
+    shard_index, shard_count = 0, 1
+    try:
+        import jax
+
+        shard_index, shard_count = jax.process_index(), jax.process_count()
+    except Exception:  # pre-init or single-host: no sharding
+        pass
     dataset = TrajDataset(cfg.TRAIN.ROOT)
     return Loader(
         dataset,
@@ -151,4 +169,6 @@ def get_loader(cfg, train: bool = True, seed: int = 0) -> Loader:
         drop_last=True,
         num_workers=cfg.TRAIN.NUM_WORKERS,
         seed=seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )

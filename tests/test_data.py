@@ -93,3 +93,36 @@ def test_normalize_matches_torchvision_semantics(rng):
     ref = (img.astype(np.float32) / 255.0 - mean) / std
     out = normalize_images(jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_loader_per_host_sharding(fake_root):
+    """Multi-host input sharding: same (seed, epoch) shuffle on every host,
+    disjoint strides, deterministic across epochs."""
+    from autonomous_driving_with_diffusion_model_tpu.data.dataset import Loader
+
+    loaders = [
+        Loader(
+            TrajDataset(fake_root), batch_size=2, shuffle=True, num_workers=1,
+            seed=7, shard_index=i, shard_count=2,
+        )
+        for i in range(2)
+    ]
+    assert len(loaders[0]) == 2  # 10 items / 2 hosts / batch 2 (drop_last)
+
+    def epoch_targets(loader):
+        return np.concatenate([b["target"] for b in loader], axis=0)
+
+    a0 = epoch_targets(loaders[0])
+    b0 = epoch_targets(loaders[1])
+    # disjoint shards (targets are unique random rows in the fixture)
+    a_rows = {tuple(r) for r in a0.round(5)}
+    b_rows = {tuple(r) for r in b0.round(5)}
+    assert not (a_rows & b_rows)
+    assert len(a_rows | b_rows) >= 8  # union covers (nearly) the dataset
+
+    # determinism: rebuild and replay epoch 0
+    fresh = Loader(
+        TrajDataset(fake_root), batch_size=2, shuffle=True, num_workers=1,
+        seed=7, shard_index=0, shard_count=2,
+    )
+    np.testing.assert_array_equal(epoch_targets(fresh), a0)
