@@ -20,6 +20,12 @@ def parse_args():
     parser.add_argument("--save-bev-path", default=None, type=str)
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--fake-env", default=False, action="store_true")
+    parser.add_argument(
+        "--env-factory", default="carla_native",
+        help="registered env factory or suite id (carla_native, carla_roach, "
+             "NoCrash-v0..3, CoRL2017-v0..3, LeaderBoard-v0, Endless-v0)",
+    )
+    parser.add_argument("--town", default=None, type=str)
     parser.add_argument("--max-steps", default=None, type=int)
     parser.add_argument("--opts", nargs=argparse.REMAINDER, default=None, type=str)
     return parser.parse_args()
@@ -63,7 +69,7 @@ def main():
             ) from exc
         from autonomous_driving_with_diffusion_model_tpu.sim import create_env, create_server
 
-        env_config = {"factory": "carla_roach", "port": 2000}
+        env_config = {"factory": args.env_factory, "port": 2000, "town": args.town}
         server = create_server(env_config, off_screen=False)
         env = create_env(env_config, seed=args.seed or 0)
 
