@@ -25,6 +25,7 @@ from .state import TrainState
 __all__ = [
     "save_orbax",
     "restore_orbax",
+    "wait_for_checkpoints",
     "export_torch_checkpoint",
     "import_torch_checkpoint",
 ]
@@ -32,14 +33,33 @@ __all__ = [
 
 # ----------------------------------------------------------------- orbax
 
+_CKPTR = None  # shared StandardCheckpointer so async saves can overlap training
 
-def save_orbax(path: str, state: TrainState) -> None:
-    import orbax.checkpoint as ocp
 
-    path = osp.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
-    ckptr.wait_until_finished()
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_orbax(path: str, state: TrainState, wait: bool = True) -> None:
+    """``wait=False`` starts an async save and returns — training overlaps
+    the serialization; call ``wait_for_checkpoints()`` before exit (the next
+    save also synchronizes internally). The host copy of the state is
+    materialized up front so donated device buffers can be reused."""
+    ckptr = _checkpointer()
+    ckptr.save(osp.abspath(path), jax.tree.map(np.asarray, state), force=True)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all pending async Orbax saves are durable."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_orbax(path: str, abstract_state: TrainState) -> TrainState:

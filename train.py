@@ -107,6 +107,7 @@ def main(args):
         import_torch_checkpoint,
         make_train_step,
         save_orbax,
+        wait_for_checkpoints,
     )
     from autonomous_driving_with_diffusion_model_tpu.utils import (
         AverageMeter,
@@ -247,13 +248,20 @@ def main(args):
                 export_torch_checkpoint(
                     host_state, cfg, osp.join(cfg.PROJECT_DIR, "checkpoints", save_name)
                 )
-            save_orbax(osp.join(cfg.PROJECT_DIR, "checkpoints", f"orbax_{cur_iter}"), host_state)
+            # async: serialization overlaps the next train iterations
+            save_orbax(
+                osp.join(cfg.PROJECT_DIR, "checkpoints", f"orbax_{cur_iter}"),
+                host_state,
+                wait=False,
+            )
             logging.info("Save checkpoint to %s...", save_name)
 
         if (cur_iter % cfg.TRAIN.SAMPLE_INTERVAL == 0 or cur_iter == max_iter) and is_main_process():
             filename = osp.join(cfg.PROJECT_DIR, "generate", f"iter_{cur_iter:03d}.png")
             ema_vars = {"params": state.ema.shadow_params, "batch_stats": state.batch_stats}
             evaluate(cfg, model, ema_vars, schedule, filename=filename)
+
+    wait_for_checkpoints()  # async Orbax saves must be durable before exit
 
 
 if __name__ == "__main__":
