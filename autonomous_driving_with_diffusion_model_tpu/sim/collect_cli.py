@@ -34,6 +34,12 @@ def parse_args():
     parser.add_argument("--save-every-n-frame", default=2, type=int)
     parser.add_argument("--off-screen", default=False, action="store_true")
     parser.add_argument("--fake-env", default=False, action="store_true")
+    parser.add_argument(
+        "--env-factory", default="carla_native",
+        help="registered env factory for live collection (carla_native, "
+             "carla_roach, or a benchmark suite id)",
+    )
+    parser.add_argument("--town", default=None, type=str)
     parser.add_argument("--max-env-steps", default=None, type=int)
     parser.add_argument("--seed", default=None, type=int)
     return parser.parse_args()
@@ -59,7 +65,7 @@ def main():
     else:
         from .create_agent import create_env, create_server
 
-        env_config = {"factory": "carla_roach"}
+        env_config = {"factory": args.env_factory, "town": args.town}
         server = create_server(env_config, off_screen=args.off_screen)
         env = create_env(env_config, seed=seed)
         collector = DataCollector(

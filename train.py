@@ -27,6 +27,10 @@ def parse_args(argv=None):
     parser.add_argument("--config", default=None, type=str)
     parser.add_argument("--generate-only", default=False, action="store_true")
     parser.add_argument("--max-iter", default=None, type=int, help="override TRAIN.MAX_ITER")
+    parser.add_argument(
+        "--profile-dir", default=None, type=str,
+        help="capture a jax.profiler trace of iterations 10-15 into this dir",
+    )
     parser.add_argument("--opts", nargs=argparse.REMAINDER, default=None, type=str)
     return parser.parse_args(argv)
 
@@ -189,7 +193,16 @@ def main(args):
     image_iteration = cur_iter * cfg.TRAIN.BATCH_SIZE
     start = time.time()
 
+    profiling = False
     while cur_iter < max_iter:
+        # profile a steady-state window (skip compile/warmup iterations)
+        if args.profile_dir and cur_iter == 10 and not profiling:
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+        if profiling and cur_iter == 15:
+            jax.profiler.stop_trace()
+            profiling = False
+            logging.info("Saved profiler trace to %s", args.profile_dir)
         try:
             batch = next(data_iter)
         except StopIteration:
@@ -261,6 +274,8 @@ def main(args):
             ema_vars = {"params": state.ema.shadow_params, "batch_stats": state.batch_stats}
             evaluate(cfg, model, ema_vars, schedule, filename=filename)
 
+    if profiling:
+        jax.profiler.stop_trace()
     wait_for_checkpoints()  # async Orbax saves must be durable before exit
 
 
