@@ -682,7 +682,6 @@ class CarlaDrivingEnv:
             self.counters.red_light += 1
 
         # stop signs: registry scan feeding the state machine
-        stop_loc_ev = None
         target_id = self.run_stop_sign.target_stop_id
         if target_id is None:
             sign = self.stop_registry.scan(tf)
@@ -702,11 +701,16 @@ class CarlaDrivingEnv:
                 stop_loc=_loc_tuple(sign.get_location()),
                 sim_time=self.sim_time, step=self.steps,
             )
-            if not self.run_stop_sign.stop_completed:
-                # targeted, not yet stopped -> reward hazard (valeo_action.py:75-88)
-                sl = sign.get_location()
+        # reward hazard: the criterion's CURRENT (post-tick) uncompleted target
+        # sign's trigger-volume center in the ego frame (valeo_action.py:75-88)
+        stop_loc_ev = None
+        target_id = self.run_stop_sign.target_stop_id
+        if target_id is not None and not self.run_stop_sign.stop_completed:
+            sign = self.stop_registry.get(target_id)
+            if sign is not None:
+                center = self.stop_registry.trigger_center(sign)
                 stop_loc_ev = _loc_global_to_ref(
-                    (sl.x, sl.y), (loc.x, loc.y), tf.rotation.yaw
+                    (center[0], center[1]), (loc.x, loc.y), tf.rotation.yaw
                 )
         if info_stop is not None:
             if info_stop["event"] == "encounter":

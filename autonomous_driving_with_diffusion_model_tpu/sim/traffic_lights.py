@@ -304,6 +304,11 @@ class StopSignRegistry:
         center = transform_point(tf, (tv.location.x, tv.location.y, tv.location.z))
         return center[:2], (tv.extent.x, tv.extent.y)
 
+    def trigger_center(self, sign):
+        """World-frame trigger-volume center (the reward's stop-sign hazard
+        anchor, valeo_action.py:80-83)."""
+        return self._trigger_center_extent(sign)[0]
+
     def inside_trigger(self, loc, sign) -> bool:
         center, extent = self._trigger_center_extent(sign)
         return point_inside_boundingbox((loc.x, loc.y), tuple(center), extent)
