@@ -25,6 +25,7 @@ from .criteria import (
 )
 from .expert import ExpertPID, LocalPlanner, RoadOption, expert_control
 from .noiser import ExpertNoiser
+from .obs_handler import OBS_MODULES, ObsHandler, register_obs_module
 from .obs import (
     ActorState,
     control_obs,
@@ -104,6 +105,9 @@ __all__ = [
     "LeaderboardTerminal",
     "LeaderboardDaggerTerminal",
     "ExpertNoiser",
+    "ObsHandler",
+    "OBS_MODULES",
+    "register_obs_module",
     "DynamicWeather",
     "Sun",
     "Storm",

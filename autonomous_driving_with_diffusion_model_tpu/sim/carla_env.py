@@ -532,7 +532,8 @@ class CarlaDrivingEnv:
         obs = process_obs(raw, ["yaw", "speed_norm", "control", "vel_xy"], train=False)
         if self._birdview is not None:
             obs["birdview"] = self._birdview_obs()
-        return obs
+        self.last_obs = obs  # sensor queues are consumed once per tick;
+        return obs           # obs-handler modules read this cached frame
 
     def _actor_tuples(self, pattern: str):
         """[(center_xy, yaw_deg, extent_xy)] for the birdview renderer."""
