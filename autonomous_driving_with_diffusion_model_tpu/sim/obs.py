@@ -25,6 +25,7 @@ __all__ = [
     "waypoint_plan_obs",
     "GnssPlanTracker",
     "stop_sign_obs",
+    "route_obs",
 ]
 
 
@@ -288,3 +289,34 @@ def stop_sign_obs(ev_loc, target_trigger_loc, stop_completed: bool,
         if d < distance_threshold:
             at = 1
     return {"at_stop_sign": at}
+
+
+def route_obs(
+    ev_loc_xy,
+    ev_yaw_deg: float,
+    route_plan,
+    route_remaining_m: float,
+    route_steps: int = 5,
+) -> Dict:
+    """RL route observation (reference: obs_manager/actor_state/route.py:35-89):
+    clipped lateral distance + heading diff to the current route waypoint,
+    the next ``route_steps`` waypoints in the ego frame, and km remaining."""
+    from .criteria import cast_angle
+
+    ev = np.asarray(ev_loc_xy, np.float64)[:2]
+    wp, _ = route_plan[0]
+    wp_loc = wp.transform.location
+    wp_yaw = float(wp.transform.rotation.yaw)
+    d_vec = ev - np.array([wp_loc.x, wp_loc.y])
+    yaw_rad = np.deg2rad(wp_yaw)
+    wp_unit_right = np.array([-np.sin(yaw_rad), np.cos(yaw_rad)])
+    lateral = float(np.clip(abs(np.dot(wp_unit_right, d_vec)), 0.0, 2.0))
+    angle = float(np.clip(np.deg2rad(abs(cast_angle(ev_yaw_deg - wp_yaw))), -2.0, 2.0))
+
+    window = waypoint_plan_obs(ev_loc_xy, ev_yaw_deg, route_plan, route_steps)
+    return {
+        "lateral_dist": np.array([lateral], np.float32),
+        "angle_diff": np.array([angle], np.float32),
+        "route_locs": window["location"].reshape(-1),
+        "dist_remaining": np.array([route_remaining_m / 1000.0], np.float32),
+    }

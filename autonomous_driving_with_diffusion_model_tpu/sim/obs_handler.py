@@ -23,6 +23,7 @@ import numpy as np
 
 from .obs import (
     control_obs,
+    route_obs,
     object_finder_obs,
     speed_obs,
     stop_sign_obs,
@@ -119,6 +120,31 @@ def _waypoint_plan(env, cfg):
     )
 
 
+def _route(env, cfg):
+    tf, _, _ = _ego_kinematics(env)
+    if env.tracker is not None and env.tracker.route:
+        plan = env.tracker.route
+        remaining = env.tracker.route_length - env.tracker.route_completed
+    else:
+        from types import SimpleNamespace
+
+        pts = env.route[env._route_idx:] or [((tf.location.x, tf.location.y), 4)]
+        plan = [
+            (SimpleNamespace(
+                transform=SimpleNamespace(
+                    location=SimpleNamespace(x=p[0], y=p[1]),
+                    rotation=SimpleNamespace(yaw=0.0),
+                ),
+                road_id=0, lane_id=0, is_junction=False), cmd)
+            for p, cmd in pts
+        ]
+        remaining = env._route_length_m() - env.completed_m
+    return route_obs(
+        (tf.location.x, tf.location.y), tf.rotation.yaw, plan,
+        max(0.0, remaining), route_steps=int(cfg.get("route_steps", 5)),
+    )
+
+
 def _camera(env, cfg):
     # the env consumes each tick's frame-synced sensor data exactly once
     # (reset/step -> _observe); read the cached frame rather than re-draining
@@ -143,6 +169,7 @@ OBS_MODULES: Dict[str, Callable] = {
     "actor_state.speed": _speed,
     "actor_state.control": _control,
     "actor_state.velocity": _velocity,
+    "actor_state.route": _route,
     "object_finder.vehicle": _object_finder("vehicle"),
     "object_finder.pedestrian": _object_finder("walker"),
     "object_finder.traffic_light_new": _traffic_light,

@@ -73,3 +73,13 @@ def test_register_custom_module(env):
 
     obs = ObsHandler({"n": {"module": "custom.step_count"}}).get_observation(env)
     assert obs["n"]["steps"] == env.steps
+
+
+def test_route_module(env):
+    from autonomous_driving_with_diffusion_model_tpu.sim.obs_handler import ObsHandler
+
+    obs = ObsHandler({"route": {"module": "actor_state.route"}}).get_observation(env)
+    r = obs["route"]
+    assert r["route_locs"].shape == (10,)
+    assert 0.0 <= r["lateral_dist"][0] <= 2.0
+    assert r["dist_remaining"][0] >= 0.0
