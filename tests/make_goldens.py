@@ -255,7 +255,127 @@ def make_classifier_pack():
     print(f"{path}: {os.path.getsize(path) / 1e6:.2f} MB, {steps} steps")
 
 
+def make_ddpm_pack():
+    """DDPM sampler golden (the training-eval path, train.py:53-103 uses the
+    DDPM scheduler): recorded per-step oracle outputs + the injected noise."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import ddpm_step
+
+    rng = np.random.default_rng(43)
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+    tmodel = build_ref_model("no_guidance")
+    cfg = create_cfg()
+    cfg.MODEL.DIM = DIM
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+    with torch.inference_mode():
+        img_feature = tmodel.perception(img_t).numpy()
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    steps = 10
+    ts, prev_ts = leading_timesteps(100, steps)
+    noise_seq = rng.standard_normal((steps, 1, 16, 7)).astype(np.float32)
+
+    step_outputs, step_trajs = [], []
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    for i, (t, prev_t) in enumerate(zip(ts, prev_ts)):
+        with torch.inference_mode():
+            out = tmodel(torch.from_numpy(trajs), img_t, torch.tensor([float(t)])).numpy()
+        step_outputs.append(out.copy())
+        nxt, _ = ddpm_step(
+            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
+            jnp.asarray(int(prev_t)), jnp.asarray(trajs), jnp.asarray(noise_seq[i]),
+        )
+        trajs = np.array(nxt)
+        trajs[:, 0, :3] = 0.0
+        step_trajs.append(trajs.copy())
+
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+    params = {k: v for k, v in flatten_params(variables["params"]).items()
+              if not k.startswith("perception")}
+    pack = {
+        "init": init, "img_feature": img_feature.astype(np.float32),
+        "noise_seq": noise_seq,
+        "step_outputs": np.stack(step_outputs), "step_trajs": np.stack(step_trajs),
+        "expected": expected, "ts": np.asarray(ts, np.int32),
+        "prev_ts": np.asarray(prev_ts, np.int32), "meta_dim": np.asarray(DIM),
+        "meta_scheduler": np.asarray("ddpm"),
+    }
+    for k, v in params.items():
+        pack[f"param:{k}"] = v
+    path = os.path.join(GOLDEN_DIR, "sampling_ddpm.npz")
+    np.savez_compressed(path, **pack)
+    print(f"{path}: {os.path.getsize(path) / 1e6:.2f} MB, {steps} steps")
+
+
+def make_inpaint_pack():
+    """RePaint DDIM inpainting golden incl. the reference's scalar-variance
+    quirk (inpainting_ddim_scheduler.py:109-128)."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import inpaint_blend_ddim
+
+    rng = np.random.default_rng(44)
+    init = rng.standard_normal((1, 16, 7)).astype(np.float32)
+    img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    target_traj = (rng.standard_normal((1, 16, 7)) * 0.3).astype(np.float32)
+    target_mask = np.zeros((1, 16, 7), np.float32)
+    target_mask[:, :4, :2] = 1.0  # pin the first 4 waypoints' xy
+
+    tmodel = build_ref_model("no_guidance")
+    cfg = create_cfg()
+    cfg.MODEL.DIM = DIM
+    variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
+    with torch.inference_mode():
+        img_feature = tmodel.perception(img_t).numpy()
+
+    schedule = make_schedule("squaredcos_cap_v2", 100)
+    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
+    steps = 8
+    ts, prev_ts = leading_timesteps(100, steps)
+    noise_seq = rng.standard_normal((steps, 1, 16, 7)).astype(np.float32)
+
+    step_outputs, step_trajs = [], []
+    trajs = init.copy()
+    trajs[:, 0, :3] = 0.0
+    for i, (t, prev_t) in enumerate(zip(ts, prev_ts)):
+        with torch.inference_mode():
+            out = tmodel(torch.from_numpy(trajs), img_t, torch.tensor([float(t)])).numpy()
+        step_outputs.append(out.copy())
+        nxt, _ = inpaint_blend_ddim(
+            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
+            jnp.asarray(int(prev_t)), jnp.asarray(trajs), jnp.asarray(noise_seq[i]),
+            target_traj=jnp.asarray(target_traj), target_mask=jnp.asarray(target_mask),
+        )
+        trajs = np.array(nxt)
+        trajs[:, 0, :3] = 0.0
+        step_trajs.append(trajs.copy())
+
+    expected = np.clip(trajs, -1.0, 1.0)
+    expected[..., :2] *= MAGIC_NUM
+    params = {k: v for k, v in flatten_params(variables["params"]).items()
+              if not k.startswith("perception")}
+    pack = {
+        "init": init, "img_feature": img_feature.astype(np.float32),
+        "noise_seq": noise_seq, "target_traj": target_traj, "target_mask": target_mask,
+        "step_outputs": np.stack(step_outputs), "step_trajs": np.stack(step_trajs),
+        "expected": expected, "ts": np.asarray(ts, np.int32),
+        "prev_ts": np.asarray(prev_ts, np.int32), "meta_dim": np.asarray(DIM),
+        "meta_scheduler": np.asarray("inpaint_ddim"),
+    }
+    for k, v in params.items():
+        pack[f"param:{k}"] = v
+    path = os.path.join(GOLDEN_DIR, "sampling_inpaint_ddim.npz")
+    np.savez_compressed(path, **pack)
+    print(f"{path}: {os.path.getsize(path) / 1e6:.2f} MB, {steps} steps")
+
+
 if __name__ == "__main__":
     for mode in ("no_guidance", "free_guidance"):
         make_pack(mode)
     make_classifier_pack()
+    make_ddpm_pack()
+    make_inpaint_pack()
