@@ -86,27 +86,38 @@ class RouteEvaluator:
         completed_m = 0.0
         counters = EpisodeCounters()
         is_completed = False
-        watchdog = None
+        sim_watchdog = agent_watchdog = None
         if self.step_timeout is not None:
+            # dual watchdogs like the leaderboard's scenario manager
+            # (scenario_manager.py:63-69): the agent one is 1 s tighter so an
+            # agent hang is attributed to the agent, not the simulation
             from ..utils.watchdog import Watchdog
 
-            watchdog = Watchdog(timeout=self.step_timeout)
+            sim_watchdog = Watchdog(timeout=self.step_timeout)
+            agent_watchdog = Watchdog(timeout=max(1.0, self.step_timeout - 1.0))
         try:
             env = self.env_factory(route)
             agent = self.agent_factory()
             state = env.reset()
-            if watchdog is not None:
-                watchdog.start()
+            if sim_watchdog is not None:
+                sim_watchdog.start()
+                agent_watchdog.start()
             start = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
             pos = start
             while steps < self.max_steps:
-                if watchdog is not None:
-                    if not watchdog.get_status():
+                if sim_watchdog is not None:
+                    if not agent_watchdog.get_status():
                         status = "Failed - Agent timed out"
                         break
-                    watchdog.update()
+                    if not sim_watchdog.get_status():
+                        status = "Failed - Simulation crashed"
+                        break
                 control = agent.compute_control(state)
+                if agent_watchdog is not None:
+                    agent_watchdog.update()
                 result = env.step({0: control})
+                if sim_watchdog is not None:
+                    sim_watchdog.update()
                 state = result[0]
                 done = bool(result[2]) if len(result) > 2 else False
                 new_pos = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
@@ -121,8 +132,9 @@ class RouteEvaluator:
             status = "Failed - Agent crashed"
             crash_message = traceback.format_exc(limit=3)
         finally:
-            if watchdog is not None:
-                watchdog.stop()
+            for wd in (sim_watchdog, agent_watchdog):
+                if wd is not None:
+                    wd.stop()
 
         length_m = float(route.get("length_m", max(completed_m, 1.0)))
         stats = episode_stats(
