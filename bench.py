@@ -125,11 +125,15 @@ def main():
     # ---- throughput sweep, fp32
     def sweep(sample_fn, variables, tag):
         tp = {}
-        for B in (1, 8, 64, 256):
+        for B in (1, 8, 64, 256, 512):
             initB = jnp.asarray(rng.standard_normal((B, 16, 7)), jnp.float32)
             imgB = jnp.tile(img, (B, 1, 1, 1))
             _log(f"compiling {tag} batch-{B}...")
-            msB = chained_ms(sample_fn, variables, initB, imgB, iters=20)
+            try:
+                msB = chained_ms(sample_fn, variables, initB, imgB, iters=20)
+            except Exception as exc:  # encoder activations OOM at the top end
+                _log(f"{tag} batch {B}: skipped ({type(exc).__name__})")
+                break
             tp[B] = B / (msB / 1000.0)
             _log(f"{tag} batch {B}: {msB:.2f} ms, {tp[B]:.0f} traj/s")
         return tp
