@@ -517,7 +517,9 @@ class CarlaDrivingEnv:
         raw = {
             "speed": speed_obs((vel.x, vel.y, vel.z), (fwd.x, fwd.y, fwd.z), tf.rotation.yaw),
             "control": control_obs(
-                control.throttle, control.steer, control.brake, control.gear
+                control.throttle, control.steer, control.brake, control.gear,
+                speed_limit=float(getattr(self.ego, "get_speed_limit", lambda: 0.0)())
+                / 3.6 * 0.8,  # km/h -> m/s * 0.8 (reference control.py:32)
             ),
             "velocity": velocity_obs(
                 (vel.x, vel.y, vel.z), (acc.x, acc.y, acc.z), ang.z, tf.rotation.yaw

@@ -48,7 +48,9 @@ def _speed(env, cfg):
 
 def _control(env, cfg):
     c = env.ego.get_control()
-    return control_obs(c.throttle, c.steer, c.brake, c.gear)
+    # km/h -> m/s with the reference's 0.8 factor (control.py:32)
+    limit = float(getattr(env.ego, "get_speed_limit", lambda: 0.0)()) / 3.6 * 0.8
+    return control_obs(c.throttle, c.steer, c.brake, c.gear, speed_limit=limit)
 
 
 def _velocity(env, cfg):
