@@ -158,7 +158,14 @@ def get_loader(cfg, train: bool = True, seed: int = 0) -> Loader:
     try:
         import jax
 
-        shard_index, shard_count = jax.process_index(), jax.process_count()
+        # only consult process topology when jax.distributed is already up —
+        # jax.process_index() would otherwise *initialize* the backend (on
+        # this image: kick off the remote TPU tunnel) as a loader-build side
+        # effect for callers that haven't forced a platform yet
+        from jax._src import distributed as _jd
+
+        if _jd.global_state.client is not None:
+            shard_index, shard_count = jax.process_index(), jax.process_count()
     except Exception:  # pre-init or single-host: no sharding
         pass
     dataset = TrajDataset(cfg.TRAIN.ROOT)

@@ -100,6 +100,8 @@ def main(argv=None) -> dict:
             return FakeDrivingEnv(seed=route["index"])
 
         counters_fn = None
+        route_length_fn = None
+        env_kind = "fake"
     else:
         from ..sim.carla_env import CarlaDrivingEnv
 
@@ -119,6 +121,11 @@ def main(argv=None) -> dict:
         def counters_fn(e):
             return e.counters
 
+        def route_length_fn(e):
+            return e._route_length_m()
+
+        env_kind = "carla"
+
     planner = DiffusionPlanner(cfg)  # compile once across all routes
 
     def agent_factory():
@@ -132,6 +139,8 @@ def main(argv=None) -> dict:
         max_steps_per_route=args.max_steps,
         counters_fn=counters_fn,
         step_timeout=args.step_timeout,
+        route_length_fn=route_length_fn,
+        env_kind=env_kind,
     )
     data = evaluator.run(resume=not args.no_resume)
 

@@ -34,11 +34,17 @@ class RouteEvaluator:
         max_steps_per_route: int = 1000,
         counters_fn: Optional[Callable[[object], EpisodeCounters]] = None,
         step_timeout: Optional[float] = None,
+        route_length_fn: Optional[Callable[[object], float]] = None,
+        env_kind: str = "unknown",
     ):
         """agent_factory() -> agent with ``compute_control(state)``;
         env_factory(route) -> env; routes: [{"id", "length_m", ...}].
         ``counters_fn(env)`` extracts infraction counters after an episode
-        (defaults to zero counters for envs without criteria)."""
+        (defaults to zero counters for envs without criteria).
+        ``route_length_fn(env)`` returns the traced road length after reset,
+        replacing the straight-line lower bound from the route dict.
+        ``env_kind`` stamps every record's meta (e.g. "carla" / "fake") so
+        synthetic smoke runs are distinguishable from real evaluations."""
         self.agent_factory = agent_factory
         self.env_factory = env_factory
         self.routes = routes
@@ -46,6 +52,8 @@ class RouteEvaluator:
         self.max_steps = max_steps_per_route
         self.counters_fn = counters_fn or (lambda env: EpisodeCounters())
         self.step_timeout = step_timeout
+        self.route_length_fn = route_length_fn
+        self.env_kind = env_kind
 
     # ------------------------------------------------------------- checkpoint
 
@@ -77,6 +85,13 @@ class RouteEvaluator:
                 len(self.routes),
             ]
             self._save(data)
+
+        # publish the leaderboard global record + values/labels/entry_status
+        # exactly like the vendored save_global_record/save_entry_status
+        from .leaderboard_stats import finalize_checkpoint
+
+        finalize_checkpoint(data, len(self.routes))
+        self._save(data)
         return data
 
     def _run_one(self, route: Dict, route_id: str, index: int) -> Dict:
@@ -95,11 +110,23 @@ class RouteEvaluator:
 
             sim_watchdog = Watchdog(timeout=self.step_timeout)
             agent_watchdog = Watchdog(timeout=max(1.0, self.step_timeout - 1.0))
+        traced_length_m = None
         try:
             env = self.env_factory(route)
             agent = self.agent_factory()
             state = env.reset()
+            if self.route_length_fn is not None:
+                # the env traced the real road route on reset — replace the
+                # straight-line lower bound so score_route stays <= 1
+                traced_length_m = float(self.route_length_fn(env))
             if sim_watchdog is not None:
+                # the agent's first plan triggers the jit compile of the full
+                # sampling program (30 s - minutes over a compile relay) —
+                # warm it before arming the watchdogs, like the leaderboard's
+                # separate setup-phase watchdog budget (scenario_manager.py)
+                warmup = getattr(agent, "warmup", None)
+                if warmup is not None:
+                    warmup(state)
                 sim_watchdog.start()
                 agent_watchdog.start()
             start = np.asarray(state["cur_waypoint"])[0].astype(np.float64)
@@ -131,12 +158,31 @@ class RouteEvaluator:
         except Exception:
             status = "Failed - Agent crashed"
             crash_message = traceback.format_exc(limit=3)
+            # the leaderboard still scores criteria events on a crash
+            # (leaderboard_evaluator.py -> compute_route_statistics(failure=...))
+            try:
+                counters = self.counters_fn(env)
+            except Exception:
+                pass
         finally:
             for wd in (sim_watchdog, agent_watchdog):
                 if wd is not None:
                     wd.stop()
 
-        length_m = float(route.get("length_m", max(completed_m, 1.0)))
+        # leaderboard failure attribution (statistics_manager.py:196-232): a
+        # route that terminated on a blocked/deviation infraction is "Failed -
+        # <reason>"; endless/max-step episodes with no terminal infraction
+        # stay "Completed" (our suites include endless tasks with no target)
+        if status == "Completed" and not is_completed:
+            if counters.vehicle_blocked:
+                status = "Failed - Agent got blocked"
+            elif counters.route_dev:
+                status = "Failed - Agent deviated from the route"
+
+        if traced_length_m is not None:
+            length_m = traced_length_m
+        else:
+            length_m = float(route.get("length_m", max(completed_m, 1.0)))
         stats = episode_stats(
             counters,
             route_length_m=length_m,
@@ -144,6 +190,8 @@ class RouteEvaluator:
             is_route_completed=is_completed,
             episode_length=steps,
         )
+        # record shape mirrors the leaderboard RouteRecord
+        # (statistics_manager.py:33-52) so the vendored consumers parse it
         infractions = {
             "collisions_layout": ["event"] * counters.collisions_layout,
             "collisions_pedestrian": ["event"] * counters.collisions_pedestrian,
@@ -151,9 +199,16 @@ class RouteEvaluator:
             "red_light": ["event"] * counters.red_light,
             "stop_infraction": ["event"] * counters.stop_infraction,
             "vehicle_blocked": ["event"] * counters.vehicle_blocked,
-            "outside_route_lanes": [],
+            # the leaderboard's OutsideRouteLanesTest emits ONE terminate-time
+            # event carrying the accumulated percentage
+            # (atomic_criteria.py:1389-1412)
+            "outside_route_lanes": (
+                ["event"] if counters.outside_lane_m + counters.wrong_lane_m > 0 else []
+            ),
+            "route_dev": ["event"] * counters.route_dev,
+            "route_timeout": [],
         }
-        assert set(infractions) == set(INFRACTION_KEYS)
+        assert set(INFRACTION_KEYS) <= set(infractions)
         return {
             "route_id": route_id,
             "index": index,
@@ -165,6 +220,6 @@ class RouteEvaluator:
                 "score_route": stats["score_route"] * 100.0,
                 "score_penalty": stats["score_penalty"],
             },
-            "meta": {"route_length": length_m},
+            "meta": {"route_length": length_m, "env_kind": self.env_kind},
             "infractions": infractions,
         }

@@ -61,7 +61,10 @@ def episode_stats(
     if endless:
         score_route = completed_km
     else:
-        score_route = 1.0 if is_route_completed else completed_km / total_km
+        # the reference feeds traced road lengths for both terms so the ratio
+        # is naturally <= 1 (ego_vehicle_handler.py:240-262); clamp here
+        # because our completed_m can be odometry over a lower-bound length
+        score_route = 1.0 if is_route_completed else min(1.0, completed_km / total_km)
 
     score_penalty = (
         1.0

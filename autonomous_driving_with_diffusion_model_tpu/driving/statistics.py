@@ -38,7 +38,13 @@ def cal_std(score_list: List[float]) -> float:
 
 def aggregate(data: Dict) -> Dict:
     records = data["_checkpoint"]["records"]
-    out: Dict = {}
+    # surface the env provenance so a synthetic (fake-env) smoke run can never
+    # be mistaken for a real evaluation in quoted output
+    out: Dict = {
+        "env_kinds": sorted(
+            {r.get("meta", {}).get("env_kind", "unknown") for r in records}
+        )
+    }
     for key in ("score_composed", "score_penalty", "score_route"):
         vals = [r["scores"][key] for r in records[:15]]
         out[key] = sum(vals) / len(vals)
@@ -65,6 +71,7 @@ def main(argv=None):
     with open(args.json_file) as f:
         data = json.load(f)
     result = aggregate(data)
+    print("env_kinds =", ",".join(result["env_kinds"]))
     for key in ("score_composed", "score_penalty", "score_route"):
         print(f"{key} =", result[key])
     for item in INFRACTION_KEYS:

@@ -378,7 +378,8 @@ class CarlaDrivingEnv:
         else:
             self._task = None
         spawn_tf = ego_route[0].as_carla() if ego_route else None
-        self._spawn_ego(spawn_transform=spawn_tf)
+        ego_model = (self._task or {}).get("ego_model", "vehicle.lincoln.mkz2017")
+        self._spawn_ego(spawn_transform=spawn_tf, model=ego_model)
         self._spawn_zombies(self.num_zombie_vehicles)
         self._spawn_walkers(self.num_zombie_walkers)
         self._set_weather()

@@ -157,20 +157,26 @@ def _build_light_entry(light, carla_map) -> _LightEntry:
     # all junction-crossing paths under this light (traffic_light.py:67-80);
     # consumed by birdview rendering of light-colored junction lanes
     junction_paths: List[List[Tuple[float, float]]] = []
-    path: List[Tuple[float, float]] = []
-    queue = list(junction_wps)
+    # each queue entry carries its own path-so-far so branches from different
+    # junction arms never interleave, and dead ends still flush their path
+    queue: List[Tuple[object, List[Tuple[float, float]]]] = [
+        (wp, []) for wp in junction_wps
+    ]
     guard = 0
     while queue and guard < 10_000:
         guard += 1
-        wp = queue.pop()
+        wp, path = queue.pop()
         loc = wp.transform.location
-        path.append((float(loc.x), float(loc.y)))
-        for nxt in wp.next(1.0):
+        path = path + [(float(loc.x), float(loc.y))]
+        successors = wp.next(1.0)
+        terminated = not successors
+        for nxt in successors:
             if nxt.is_junction:
-                queue.append(nxt)
+                queue.append((nxt, path))
             else:
-                junction_paths.append(path)
-                path = []
+                terminated = True
+        if terminated:
+            junction_paths.append(path)
 
     trigger_world = transform_point(base_tf, (tv_loc.x, tv_loc.y, tv_loc.z))
     return _LightEntry(

@@ -15,7 +15,21 @@ Extras:
 - strict-reference execution (perception re-run inside every denoise step,
   exactly the torch reference's schedule — temporal.py:203) and the
   hoisted-vs-strict speedup ratio: the apples-to-apples design win;
-- closed-loop CFG DDIM-10 plan latency (free_guidance operating point).
+- closed-loop CFG DDIM-10 plan latency (free_guidance operating point);
+- classifier-guidance DDIM-2 plan latency, bf16 + fp32 (the reference's best
+  published operating point, README.md:233-245: per-step jax.grad through the
+  state head in-scan — reference control/guidance.py:35-59);
+- inpainting DDIM-50 plan latency (RePaint blend, scheduler/inpainting_*.py);
+- train-step sweep: samples/s/chip fwd+bwd+EMA at batch 8/64 (+256 with
+  TPU.REMAT), fp32 and bf16-compute (reference envelope: train.py:221-325);
+- machine-checked FLOP accounting (XLA cost_analysis) -> gflop_per_plan and
+  mfu_pct at the bf16 batch-256 operating point.
+
+Latency basis: all latency/throughput numbers are DEVICE time via chained
+execution (min of repeated trials — interference-robust on the shared tunnel
+chip). ``host_roundtrip_p50_ms`` is the per-call host-in-the-loop figure on
+THIS tunneled dev setup (~25-30 ms relay RPC); on a co-located TPU host the
+closed-loop latency is device time + O(0.1 ms) dispatch.
 """
 
 import json

@@ -193,6 +193,17 @@ def main(args):
     image_iteration = cur_iter * cfg.TRAIN.BATCH_SIZE
     start = time.time()
 
+    # one root key with per-purpose fold_in tags: the augmentation draws and
+    # the train-step timestep/noise draws must come from disjoint streams
+    # (passing the same PRNGKey(cur_iter) to both correlates them — identical
+    # split trees). Still resume-deterministic: only a function of cur_iter.
+    root_key = jax.random.PRNGKey(0)
+    AUG_TAG, STEP_TAG = 1, 2
+
+    def iter_keys(it):
+        k = jax.random.fold_in(root_key, it)
+        return jax.random.fold_in(k, AUG_TAG), jax.random.fold_in(k, STEP_TAG)
+
     profiling = False
     while cur_iter < max_iter:
         # profile a steady-state window (skip compile/warmup iterations)
@@ -209,11 +220,10 @@ def main(args):
             data_iter = iter(loader)
             batch = next(data_iter)
 
+        aug_key, step_key = iter_keys(cur_iter)
         images = jnp.asarray(batch["image"])
         if use_augment:
-            images = augment(
-                images, jax.random.PRNGKey(cur_iter), jnp.asarray(float(image_iteration))
-            )
+            images = augment(images, aug_key, jnp.asarray(float(image_iteration)))
             images = images / 255.0
             from autonomous_driving_with_diffusion_model_tpu.data.augment import (
                 IMAGENET_MEAN,
@@ -231,7 +241,7 @@ def main(args):
             },
             mesh,
         )
-        state, metrics = train_step(state, device_batch, jax.random.PRNGKey(cur_iter))
+        state, metrics = train_step(state, device_batch, step_key)
         image_iteration += cfg.TRAIN.BATCH_SIZE
         cur_iter += 1
 
