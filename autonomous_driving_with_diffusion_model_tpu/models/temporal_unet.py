@@ -174,6 +174,10 @@ class TemporalMapUnet(nn.Module):
         if self.use_cond == GuidanceType.CLASSIFIER_GUIDANCE:
             self.act_block = Conv1dBlock(final_up_dim, 5, dtype=self.dtype, use_pallas=self.use_pallas, name="act_block")
             self.act_head = Conv1d(3, 1, dtype=self.dtype, name="act_head")
+            # NOTE: hidden_dim=64 is a reference contract (temporal.py:187);
+            # time_embed (dim = MODEL.DIM) is added to the hidden features, so
+            # the classifier variant only builds at MODEL.DIM == 64 — exactly
+            # like the reference.
             self.state_pred = TrajPredict(
                 in_dim=3,
                 out_dim=self.transition_dim - 3,

@@ -125,6 +125,7 @@ class CarlaDrivingEnv:
         self._task_idx = -1
         self._endless = True
         self._final_target = None
+        self._control_loss_events = []
 
         # connect with retries (reference: carla_multi_agent_env.py:251-261)
         last_exc = None
@@ -420,8 +421,35 @@ class CarlaDrivingEnv:
         self.terminal = ValeoTerminal(eval_mode=self.eval_mode)
         self.counters = EpisodeCounters()
         # scripted adversaries from the task (scenario_actor_handler.py:15-51)
+        # + leaderboard scenario injection along the traced route
+        # (scenario_injection.py; reference route_scenario.py:337-496)
         self.scenario_handler = None
-        if self._task and self._task.get("scenario_actors"):
+        self._control_loss_events = []
+        scenario_routes = dict((self._task or {}).get("scenario_actors") or {})
+        scenario_configs = dict((self._task or {}).get("scenario_actor_configs") or {})
+        walker_specs = []
+        if self._task and self._task.get("scenarios_json") and self.tracker is not None:
+            from .scenario_injection import (
+                build_injection,
+                load_annotations,
+                sample_scenarios,
+                scan_route_for_scenarios,
+            )
+
+            annotations = load_annotations(self._task["scenarios_json"])
+            town = self._task.get("town", "")
+            scan_route = [
+                (wp.transform, int(getattr(cmd, "value", cmd)))
+                for wp, cmd in self.tracker.route
+            ]
+            potential = scan_route_for_scenarios(town, scan_route, annotations)
+            sampled = sample_scenarios(potential, seed=self._task.get("route_id", 0))
+            injection = build_injection(sampled, seed=self._task.get("route_id", 0))
+            scenario_routes.update(injection["vehicle_routes"])
+            scenario_configs.update(injection["vehicle_configs"])
+            walker_specs = injection["walker_specs"]
+            self._control_loss_events = injection["control_loss"]
+        if scenario_routes or walker_specs:
             from .scenario_actors import ScenarioActorHandler
 
             self.scenario_handler = ScenarioActorHandler(
@@ -429,8 +457,7 @@ class CarlaDrivingEnv:
                 rng=self.rng,
             )
             self.scenario_handler.reset(
-                self._task["scenario_actors"],
-                self._task.get("scenario_actor_configs", {}),
+                scenario_routes, scenario_configs, walker_specs=walker_specs
             )
         self.sim_time = 0.0
         self.steps = 0
@@ -598,6 +625,19 @@ class CarlaDrivingEnv:
         if control is None:
             control = self._expert_control()
         control = np.asarray(control, np.float64)
+        if self._control_loss_events:
+            # injected Scenario1 (ControlLoss): steer-noise pulse at the trigger
+            ego_tf = self.ego.get_transform()
+            ego_vel = self.ego.get_velocity()
+            ego_speed = float(np.hypot(ego_vel.x, ego_vel.y))
+            offset = sum(
+                ev.steer_offset(
+                    (ego_tf.location.x, ego_tf.location.y), ego_speed, self.sim_time
+                )
+                for ev in self._control_loss_events
+            )
+            control = control.copy()
+            control[1] += offset
         self.ego.apply_control(
             carla.VehicleControl(
                 throttle=float(np.clip(control[0], 0, 1)),
@@ -606,7 +646,8 @@ class CarlaDrivingEnv:
             )
         )
         if self.scenario_handler is not None:
-            self.scenario_handler.tick()  # scripted adversaries act pre-tick
+            # scripted adversaries act pre-tick
+            self.scenario_handler.tick(self.ego.get_location())
         self.world.tick()
         self._tick_weather()
         self.sim_time += self.fixed_delta

@@ -27,7 +27,13 @@ from .reward import lbc_hazard_vehicle, lbc_hazard_walker
 
 log = logging.getLogger(__name__)
 
-__all__ = ["ScenarioVehicle", "ConstantSpeedAgent", "BasicAgent", "ScenarioActorHandler"]
+__all__ = [
+    "ScenarioVehicle",
+    "ConstantSpeedAgent",
+    "BasicAgent",
+    "CrossingWalker",
+    "ScenarioActorHandler",
+]
 
 
 class ScenarioVehicle:
@@ -155,6 +161,60 @@ class BasicAgent(ConstantSpeedAgent):
         return self._drive()
 
 
+class CrossingWalker:
+    """A scenario walker that waits on the shoulder and crosses the road when
+    the ego nears its trigger point (the native DynamicObjectCrossing /
+    VehicleTurningRoute behavior — reference srunner
+    dynamic_object_crossing.py via scenario_injection.build_injection).
+
+    States: waiting -> crossing (fixed direction, fixed distance) -> done
+    (stops in place; the episode's criteria do the rest)."""
+
+    def __init__(self, walker, spec: Dict):
+        self.walker = walker
+        self.trigger_xy = np.asarray(spec["trigger_xy"], np.float64)
+        self.trigger_dist = float(spec.get("trigger_dist", 18.0))
+        d = np.asarray(spec["cross_dir"], np.float64)
+        self.cross_dir = d / max(np.linalg.norm(d), 1e-9)
+        self.speed = float(spec.get("speed", 1.8))
+        self.cross_m = float(spec.get("cross_m", 9.0))
+        loc = walker.get_location()
+        self._start_xy = np.array([loc.x, loc.y])
+        self.state = "waiting"
+
+    def tick(self, ego_location) -> None:
+        import carla
+
+        if self.state == "done":
+            return
+        if self.state == "waiting":
+            ego_xy = np.array([ego_location.x, ego_location.y])
+            if np.linalg.norm(ego_xy - self.trigger_xy) > self.trigger_dist:
+                return
+            self.state = "crossing"
+        loc = self.walker.get_location()
+        walked = np.linalg.norm(np.array([loc.x, loc.y]) - self._start_xy)
+        if walked >= self.cross_m:
+            self.state = "done"
+            speed = 0.0
+        else:
+            speed = self.speed
+        self.walker.apply_control(
+            carla.WalkerControl(
+                direction=carla.Vector3D(
+                    float(self.cross_dir[0]), float(self.cross_dir[1]), 0.0
+                ),
+                speed=speed,
+            )
+        )
+
+    def clean(self):
+        try:
+            self.walker.destroy()
+        except RuntimeError:
+            pass
+
+
 AGENT_ENTRY_POINTS = {
     "constant_speed_agent:ConstantSpeedAgent": ConstantSpeedAgent,
     "basic_agent:BasicAgent": BasicAgent,
@@ -173,13 +233,33 @@ class ScenarioActorHandler:
         self.rng = rng or np.random.default_rng(0)
         self.actors: Dict[str, ScenarioVehicle] = {}
         self.agents: Dict[str, object] = {}
+        self.walkers: Dict[str, CrossingWalker] = {}
 
-    def reset(self, scenario_routes: Dict, scenario_configs: Dict):
+    def reset(self, scenario_routes: Dict, scenario_configs: Dict,
+              walker_specs: Optional[Sequence[Dict]] = None):
         """scenario_routes: {id: [TransformSpec, ...]} (first = spawn);
-        scenario_configs: {id: {"model", "agent_entry_point", "agent_kwargs"}}."""
+        scenario_configs: {id: {"model", "agent_entry_point", "agent_kwargs"}};
+        walker_specs: crossing-walker dicts from
+        scenario_injection.build_injection."""
         import carla
 
         self.clean()
+        for i, spec in enumerate(walker_specs or ()):
+            lib = self._world.get_blueprint_library()
+            bps = list(lib.filter("walker.pedestrian.*")) or [
+                lib.find("walker.pedestrian.0001")
+            ]
+            bp = bps[int(self.rng.integers(len(bps)))]
+            if hasattr(bp, "has_attribute") and bp.has_attribute("is_invincible"):
+                bp.set_attribute("is_invincible", "false")
+            x, y = spec["spawn_xy"]
+            tf = carla.Transform(carla.Location(float(x), float(y), 0.5))
+            try:
+                walker = self._world.spawn_actor(bp, tf)
+            except RuntimeError as exc:
+                log.warning("crossing walker %d spawn failed: %s", i, exc)
+                continue
+            self.walkers[f"crossing_walker_{i}"] = CrossingWalker(walker, spec)
         for sa_id, config in scenario_configs.items():
             route = scenario_routes.get(sa_id, [])
             if not route:
@@ -236,13 +316,19 @@ class ScenarioActorHandler:
             self.actors[sa_id] = sv
             self.agents[sa_id] = agent
 
-    def tick(self):
+    def tick(self, ego_location=None):
         for sa_id, sv in self.actors.items():
             sv.apply_control(self.agents[sa_id].get_action())
             sv.tick()
+        if ego_location is not None:
+            for walker in self.walkers.values():
+                walker.tick(ego_location)
 
     def clean(self):
         for sv in self.actors.values():
             sv.clean()
+        for walker in self.walkers.values():
+            walker.clean()
         self.actors = {}
         self.agents = {}
+        self.walkers = {}

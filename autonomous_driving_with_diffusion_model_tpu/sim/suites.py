@@ -247,9 +247,15 @@ def build_leaderboard_tasks(
     weather_group: str = "train",
     routes_group: Optional[str] = None,
     description_root: Optional[str] = None,
+    scenarios_json: Optional[str] = None,
     **_,
 ) -> List[Dict]:
-    """Leaderboard route tasks (leaderboard_env.py:36-121)."""
+    """Leaderboard route tasks (leaderboard_env.py:36-121).
+
+    ``scenarios_json`` (or env ADM_SCENARIOS_JSON): path to a published
+    per-town scenario annotations file (e.g. all_towns_traffic_scenarios.json)
+    — the env then samples and injects adversarial scenarios at route trigger
+    points (sim/scenario_injection.py; reference route_scenario.py:337-496)."""
     assert carla_map in _LEADERBOARD_VEHICLES, carla_map
     root = description_root or default_description_root()
     if root is None:
@@ -258,12 +264,18 @@ def build_leaderboard_tasks(
         )
     sub = f"{carla_map}_{routes_group}" if (carla_map == "Town04" and routes_group) else carla_map
     folder = os.path.join(root, "LeaderBoard", sub)
-    return _tasks_from_description(
+    tasks = _tasks_from_description(
         folder,
         _weathers(weather_group),
         _LEADERBOARD_VEHICLES[carla_map],
         _LEADERBOARD_WALKERS[carla_map],
     )
+    scenarios_json = scenarios_json or os.environ.get("ADM_SCENARIOS_JSON")
+    for task in tasks:
+        task["town"] = carla_map
+        if scenarios_json:
+            task["scenarios_json"] = scenarios_json
+    return tasks
 
 
 # env-id registry (carla_gym/__init__.py:9-66)

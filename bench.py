@@ -51,7 +51,15 @@ _T0 = time.time()
 
 
 def main():
+    import os
+
     import jax
+
+    # ADM_BENCH_TINY=1: shrink the model/image and run on CPU — a fast smoke
+    # of the full bench flow (same code paths, meaningless numbers).
+    tiny = os.environ.get("ADM_BENCH_TINY") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: repeat bench runs skip the (minutes-long on the
     # tunneled dev setup) XLA compiles when the programs are unchanged
@@ -65,12 +73,20 @@ def main():
     )
     from autonomous_driving_with_diffusion_model_tpu.models import build_model
     from autonomous_driving_with_diffusion_model_tpu.utils.config import (
-        create_cfg,
+        create_cfg as _create_cfg,
         merge_possible_with_base,
     )
 
+    def create_cfg():
+        cfg = _create_cfg()
+        if tiny:
+            cfg.MODEL.DIM = 8
+            cfg.MODEL.PERCEPTION = "tiny"
+        return cfg
+
+    H, W = (32, 48) if tiny else (256, 900)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((1, 256, 900, 3)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
     init1 = jnp.asarray(rng.standard_normal((1, 16, 7)), jnp.float32)
 
     def build(cfg):
@@ -201,9 +217,173 @@ def main():
     init8 = jnp.asarray(rng.standard_normal((8, 16, 7)), jnp.float32)
     target8 = jnp.tile(target, (8, 1))
     _log("compiling CFG DDIM-10 K=8 multi-hypothesis plan...")
-    p50_cfg10_k8 = chained_ms(plan_cfg, variables_f, init8, img, target8)
+    # K=8 vs K=1 differ by ~15%; use extra trials so shared-chip interference
+    # doesn't invert the ordering (round-2 weak finding).
+    p50_cfg10_k8 = chained_ms(plan_cfg, variables_f, init8, img, target8, repeats=6)
+    p50_cfg10 = min(p50_cfg10, chained_ms(plan_cfg, variables_f, init1, img, target, repeats=3))
     _log(f"CFG-10 bf16 K=8 device = {p50_cfg10_k8:.2f} ms "
          f"({p50_cfg10_k8 / p50_cfg10:.2f}x single for 8x plans)")
+
+    # ---- classifier guidance DDIM-2: the reference's best published result
+    # (DS 14.89, README.md:233-245) — 2 denoise steps, each with jax.grad of
+    # the TargetGuidance loss through the state head in-scan (reference
+    # control/guidance.py:35-59, interact.py:145-160).
+    _log("building classifier-guidance DDIM-2 model...")
+    cfg_cls = create_cfg()
+    merge_possible_with_base(cfg_cls, "configs/guidance/classifier_guidance.yaml")
+    cfg_cls.TPU.SCAN_UNROLL = best_unroll
+    if tiny:
+        # the classifier state head requires MODEL.DIM == 64 (the reference
+        # hardcodes TrajPredict hidden_dim=64, temporal.py:187 — time_embed
+        # addition only type-checks at DIM 64); keep the tiny perception only
+        cfg_cls.MODEL.DIM = 64
+    model_c32, variables_c, schedule_c = build(cfg_cls)
+    sample_c32 = jax.jit(sampler_from_cfg(model_c32, schedule_c, cfg_cls))
+    cfg_cls16 = cfg_cls.clone()
+    cfg_cls16.TPU.COMPUTE_DTYPE = "bfloat16"
+    model_c16 = build_model(cfg_cls16)
+    sample_c16 = jax.jit(sampler_from_cfg(model_c16, schedule_c, cfg_cls16))
+
+    def plan_cls32(v, x, im, tgt):
+        return sample_c32(v, x, image=im, target=tgt)
+
+    def plan_cls16(v, x, im, tgt):
+        return sample_c16(v, x, image=im, target=tgt)
+
+    _log("compiling classifier DDIM-2 fp32 plan...")
+    p50_cls2_fp32 = chained_ms(plan_cls32, variables_c, init1, img, target)
+    _log(f"classifier-2 fp32 device = {p50_cls2_fp32:.2f} ms")
+    _log("compiling classifier DDIM-2 bf16 plan...")
+    p50_cls2_bf16 = chained_ms(plan_cls16, variables_c, init1, img, target)
+    _log(f"classifier-2 bf16 device = {p50_cls2_bf16:.2f} ms")
+
+    # ---- inpainting DDIM-50 (RePaint blend — scheduler/inpainting_*.py)
+    from autonomous_driving_with_diffusion_model_tpu.diffusion.sampler import (
+        SamplerConfig,
+        make_sampler,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.diffusion.steps import StepConfig
+
+    _log("building inpainting DDIM-50 sampler (bf16)...")
+    inpaint_cfg = SamplerConfig(
+        scheduler="ddim",
+        num_steps=50,
+        step=StepConfig(prediction_type="sample", clip_sample=True, thresholding=True),
+        inpainting=True,
+        unroll=best_unroll,
+    )
+    sample_inp = jax.jit(make_sampler(model16, schedule, inpaint_cfg))
+    target_traj = jnp.zeros((1, 16, 7)).at[:, :4, :2].set(0.1)
+    target_mask = jnp.zeros((1, 16, 7)).at[:, :4, :2].set(1.0)
+
+    def plan_inp(v, x, im, tt, tm):
+        return sample_inp(v, x, image=im, rng=jax.random.PRNGKey(0),
+                          target_traj=tt, target_mask=tm)
+
+    _log("compiling inpainting DDIM-50 plan...")
+    p50_inp50 = chained_ms(plan_inp, variables, init1, img, target_traj, target_mask)
+    _log(f"inpaint-50 bf16 device = {p50_inp50:.2f} ms")
+
+    # ---- machine-checked FLOP accounting + MFU at the bf16 batch-256
+    # operating point (fixes the round-2 "~4.2 GFLOP" DESIGN.md error)
+    gflop_per_plan = mfu_pct = achieved_tflops = peak_tflops = None
+    try:
+        Bm = 256
+        initB = jnp.asarray(rng.standard_normal((Bm, 16, 7)), jnp.float32)
+        imgB = jnp.tile(img, (Bm, 1, 1, 1))
+        cost = sample16.lower(variables, initB, image=imgB).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            gflop_per_plan = flops / Bm / 1e9
+            tp = tp_bf16.get(Bm)
+            if tp:
+                achieved_tflops = tp * gflop_per_plan / 1e3
+                kind = jax.devices()[0].device_kind.lower()
+                peaks = {  # dense bf16 TFLOP/s per chip (public specs)
+                    "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+                    "v6 lite": 918.0, "v6e": 918.0, "v4": 275.0, "v3": 123.0,
+                }
+                for key, pk in peaks.items():
+                    if key in kind:
+                        peak_tflops = pk
+                        break
+                if peak_tflops:
+                    mfu_pct = 100.0 * achieved_tflops / peak_tflops
+        _log(f"cost_analysis: {gflop_per_plan and round(gflop_per_plan, 1)} GFLOP/plan, "
+             f"{achieved_tflops and round(achieved_tflops, 1)} TFLOP/s achieved, "
+             f"MFU {mfu_pct and round(mfu_pct, 1)}%")
+    except Exception as exc:  # cost_analysis availability varies by backend
+        _log(f"cost_analysis unavailable: {type(exc).__name__}: {exc}")
+
+    # ---- training throughput: fwd+bwd+AdamW+EMA device step time
+    # (reference envelope: train.py:221-325; synthetic on-device batch so the
+    # tunnel never transfers the 256x900 images)
+    from functools import partial
+
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import (
+        make_schedule_from_cfg,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    @partial(jax.jit, static_argnums=0)
+    def make_batch(B, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "image": jax.random.normal(k1, (B, H, W, 3), jnp.float32),
+            "trajs": jax.random.uniform(k2, (B, 16, 7), jnp.float32, -1.0, 1.0),
+            "target": jax.random.normal(k3, (B, 2), jnp.float32),
+        }
+
+    def time_train(step, state, batch, iters=8, repeats=3):
+        rng_t = jax.random.PRNGKey(1)
+        state, _ = step(state, batch, rng_t)  # compile + warm
+        jax.block_until_ready(state.step)
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, _ = step(state, batch, rng_t)
+            jax.block_until_ready(state.step)
+            best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
+        return best, state
+
+    train_ms = {}
+    train_sps = {}
+    for tag, compute_dtype, B, remat in (
+        ("fp32_b8", "float32", 8, False),
+        ("fp32_b64", "float32", 64, False),
+        ("bf16_b8", "bfloat16", 8, False),
+        ("bf16_b64", "bfloat16", 64, False),
+        ("bf16_b256_remat", "bfloat16", 256, True),
+    ):
+        cfg_t = create_cfg()
+        cfg_t.TPU.COMPUTE_DTYPE = compute_dtype
+        cfg_t.TPU.REMAT = remat
+        model_t = build_model(cfg_t)
+        variables_t = jax.jit(
+            lambda k: model_t.init(
+                k, init1, img=img, time=jnp.asarray([1.0], jnp.float32), train=True
+            )
+        )(jax.random.PRNGKey(0))
+        state_t = create_train_state(model_t, variables_t, cfg_t)
+        schedule_t = make_schedule_from_cfg(cfg_t)
+        step_t = jax.jit(make_train_step(model_t, schedule_t, cfg_t), donate_argnums=(0,))
+        batch = make_batch(B, jax.random.PRNGKey(2))
+        _log(f"compiling train step {tag}...")
+        try:
+            ms, state_t = time_train(step_t, state_t, batch)
+        except Exception as exc:
+            _log(f"train {tag}: skipped ({type(exc).__name__}: {exc})")
+            continue
+        train_ms[tag] = ms
+        train_sps[tag] = B / (ms / 1000.0)
+        _log(f"train {tag}: {ms:.2f} ms/step, {train_sps[tag]:.1f} samples/s/chip")
+        del state_t, step_t, batch, variables_t
 
     p50 = p50_bf16  # headline: default deployment dtype
     result = {
@@ -226,6 +406,22 @@ def main():
             "traj_per_s_per_chip_ddim50_bf16": {
                 str(k): round(v, 1) for k, v in tp_bf16.items()
             },
+            "p50_plan_latency_ms_classifier_ddim2_fp32": round(p50_cls2_fp32, 3),
+            "p50_plan_latency_ms_classifier_ddim2_bf16": round(p50_cls2_bf16, 3),
+            "p50_plan_latency_ms_inpaint_ddim50_bf16": round(p50_inp50, 3),
+            "train_step_ms": {k: round(v, 2) for k, v in train_ms.items()},
+            "train_samples_per_s_per_chip": {
+                k: round(v, 1) for k, v in train_sps.items()
+            },
+            "gflop_per_plan_ddim50": gflop_per_plan and round(gflop_per_plan, 2),
+            "achieved_tflops_bf16_b256": achieved_tflops and round(achieved_tflops, 1),
+            "peak_tflops_bf16": peak_tflops,
+            "mfu_pct_bf16_b256": mfu_pct and round(mfu_pct, 1),
+            "latency_basis": (
+                "device time, chained execution, min over repeated trials; "
+                "host_roundtrip_p50_ms is the per-call figure on this tunneled "
+                "dev setup (~25-30 ms relay RPC), not a co-located deployment"
+            ),
             "host_roundtrip_p50_ms": round(host_p50, 3),
         },
     }

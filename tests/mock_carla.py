@@ -52,6 +52,18 @@ class VehicleControl:
         self.gear = 1
 
 
+class Vector3D:
+    def __init__(self, x=0.0, y=0.0, z=0.0):
+        self.x, self.y, self.z = float(x), float(y), float(z)
+
+
+class WalkerControl:
+    def __init__(self, direction=None, speed=0.0, jump=False):
+        self.direction = direction or Vector3D()
+        self.speed = float(speed)
+        self.jump = jump
+
+
 class _Blueprint:
     def __init__(self, bp_id):
         self.id = bp_id
@@ -170,11 +182,33 @@ class _Sensor:
         elif self.bp.id == "sensor.other.imu":
             yaw = np.deg2rad(self.parent.transform.rotation.yaw)
             self.callback(SimpleNamespace(frame=frame, compass=float(yaw)))
-        # collision sensor: fired manually by tests
+        elif self.bp.id == "sensor.other.collision":
+            # contact = centers within 2 m (tests may also fire events manually)
+            p = self.parent.get_location()
+            dt = self.world.settings.fixed_delta_seconds or 0.1
+            for a in self.world.actors:
+                if a is self.parent or not a.type_id.startswith(
+                    ("vehicle", "walker.pedestrian")
+                ):
+                    continue
+                if not getattr(a, "alive", True):
+                    continue
+                o = a.get_location()
+                if np.hypot(p.x - o.x, p.y - o.y) < 2.0:
+                    self.callback(
+                        SimpleNamespace(
+                            frame=frame,
+                            timestamp=frame * dt,
+                            actor=self.parent,
+                            other_actor=a,
+                            normal_impulse=SimpleNamespace(x=1.0, y=0.0, z=0.0),
+                        )
+                    )
 
 
 class _Walker:
-    """Static pedestrian (position set at spawn; AI controller is a no-op)."""
+    """Pedestrian: static unless driven via apply_control(WalkerControl)
+    (AI controller stays a no-op)."""
 
     def __init__(self, world, transform, type_id="walker.pedestrian.0001"):
         self.id = _Vehicle._next_id
@@ -184,6 +218,7 @@ class _Walker:
         self.transform = Transform(
             Location(transform.location.x, transform.location.y, transform.location.z)
         )
+        self.control = None
         self.alive = True
 
     def get_location(self):
@@ -193,7 +228,23 @@ class _Walker:
         return self.transform
 
     def get_velocity(self):
-        return SimpleNamespace(x=0.0, y=0.0, z=0.0)
+        if self.control is None or self.control.speed == 0.0:
+            return SimpleNamespace(x=0.0, y=0.0, z=0.0)
+        d = self.control.direction
+        n = max(np.hypot(d.x, d.y), 1e-9)
+        s = self.control.speed
+        return SimpleNamespace(x=s * d.x / n, y=s * d.y / n, z=0.0)
+
+    def apply_control(self, control):
+        self.control = control
+
+    def _physics(self, dt):
+        if self.control is None or self.control.speed <= 0.0:
+            return
+        d = self.control.direction
+        n = max(np.hypot(d.x, d.y), 1e-9)
+        self.transform.location.x += self.control.speed * d.x / n * dt
+        self.transform.location.y += self.control.speed * d.y / n * dt
 
     def destroy(self):
         self.alive = False
@@ -283,7 +334,7 @@ class _World:
         self.frame += 1
         dt = self.settings.fixed_delta_seconds or 0.1
         for a in self.actors:
-            if isinstance(a, _Vehicle):
+            if isinstance(a, (_Vehicle, _Walker)):
                 a._physics(dt)
         for s in self.sensors:
             s._emit(self.frame)
@@ -409,6 +460,19 @@ class Client:
         return self._world
 
 
-WeatherParameters = SimpleNamespace(ClearNoon=SimpleNamespace())
+class WeatherParameters(SimpleNamespace):
+    """Callable like the real carla.WeatherParameters; named presets are
+    class attributes (only ClearNoon is populated)."""
+
+    ClearNoon = None  # filled in below (needs the class to exist first)
+
+
+for _preset in (
+    "ClearNoon", "ClearSunset", "CloudyNoon", "CloudySunset", "WetNoon",
+    "WetSunset", "MidRainyNoon", "MidRainSunset", "WetCloudyNoon",
+    "WetCloudySunset", "HardRainNoon", "HardRainSunset", "SoftRainNoon",
+    "SoftRainSunset",
+):
+    setattr(WeatherParameters, _preset, WeatherParameters())
 TrafficLightState = SimpleNamespace(Red="Red", Yellow="Yellow", Green="Green")
 LaneType = SimpleNamespace(Driving="Driving", Parking="Parking")
