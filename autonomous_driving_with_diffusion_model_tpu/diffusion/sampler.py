@@ -169,6 +169,11 @@ def make_sampler(
 
             if cfg.guidance == GuidanceType.CLASSIFIER_GUIDANCE and target is not None:
                 action, time_embed = aux
+                # guidance math (autograd + scaled descent, guidance.py) runs
+                # in fp32 even when the model computes in bf16 — like all
+                # scheduler math here
+                action = action.astype(jnp.float32)
+                model_output = model_output.astype(jnp.float32)
                 variance = var_fn(schedule, t, prev_t)
                 grad_scale = jnp.exp(0.5 * variance)
 

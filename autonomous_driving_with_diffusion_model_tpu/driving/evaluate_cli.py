@@ -32,6 +32,13 @@ def parse_args(argv=None):
     p.add_argument("--weather-group", default="simple")
     p.add_argument("--route-description", default="lbc")
     p.add_argument("--routes-group", default=None)
+    p.add_argument(
+        "--scenarios-json", default=None,
+        help="published per-town scenario annotations (e.g. "
+             "all_towns_traffic_scenarios.json): the native env injects "
+             "adversarial scenarios at route trigger points "
+             "(sim/scenario_injection.py); also honored via ADM_SCENARIOS_JSON",
+    )
     p.add_argument("--config", default=None, help="agent config yaml")
     p.add_argument("--agent-ckpt", default=None, help="model checkpoint (.pth/orbax)")
     p.add_argument("--checkpoint-json", required=True, help="_checkpoint output path")
@@ -90,6 +97,7 @@ def main(argv=None) -> dict:
         weather_group=args.weather_group,
         route_description=args.route_description,
         routes_group=args.routes_group,
+        scenarios_json=args.scenarios_json,
     )
     routes = build_routes(args.env_id, tasks)
 

@@ -15,7 +15,12 @@ import numpy as np
 
 from ..utils.constants import GuidanceType
 from .controller import Controller
-from .plan import DiffusionPlanner, process_next_waypoint, way_point_to_pixel
+from .plan import (
+    DiffusionPlanner,
+    agent_to_world,
+    process_next_waypoint,
+    way_point_to_pixel,
+)
 
 __all__ = ["InteractAgent"]
 
@@ -28,6 +33,7 @@ class InteractAgent:
         planner: Optional[DiffusionPlanner] = None,
         bev_save_path: Optional[str] = None,
         on_frame: Optional[Callable] = None,
+        plot_on_world: bool = False,
     ):
         self.cfg = cfg
         self.env = env
@@ -36,6 +42,9 @@ class InteractAgent:
         self.use_guidance_type = GuidanceType[cfg.GUIDANCE.USE_COND]
         self.bev_save_path = bev_save_path
         self.on_frame = on_frame
+        # draw the planned waypoints into the live simulator through the
+        # env's world.debug surface (reference: interact.py:305-312)
+        self.plot_on_world = plot_on_world
         if bev_save_path:
             import os
 
@@ -73,6 +82,8 @@ class InteractAgent:
 
         if self.bev_save_path is not None:
             self._save_bev(np.asarray(state["bev"][0]), traj[0, :, :2])
+        if self.plot_on_world:
+            self._plot_to_world(state, traj)
 
         if traj.shape[-1] > 2:
             control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
@@ -93,6 +104,32 @@ class InteractAgent:
         if self.on_frame is not None:
             self.on_frame(state, traj, control)
         return control
+
+    def _plot_to_world(self, state, traj) -> None:
+        """Draw the planned waypoints into the simulator (reference:
+        interact.py:241-272,305-312 plot_to_world): ego-frame meters ->
+        world xy via ``agent_to_world``, rendered as 'x' strings through
+        the world's debug interface. No-op for envs without one (fake env)."""
+        world = getattr(self.env, "world", None)
+        debug = getattr(world, "debug", None)
+        if debug is None:
+            return
+        import carla
+
+        points = agent_to_world(
+            traj[0, :, :2],
+            float(np.asarray(state["compass"][0]).reshape(-1)[0]),
+            np.asarray(state["cur_waypoint"])[0],
+        )
+        for x, y in points:
+            debug.draw_string(
+                carla.Location(float(x), float(y), 0.5),
+                "x",
+                draw_shadow=False,
+                color=carla.Color(r=0, g=0, b=255),
+                life_time=-1,
+                persistent_lines=True,
+            )
 
     def _save_bev(self, bev_image, traj_xy_meters):
         import cv2

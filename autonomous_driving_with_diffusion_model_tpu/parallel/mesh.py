@@ -15,7 +15,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "is_main_process"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_global_batch",
+    "replicate_global",
+    "is_main_process",
+]
 
 
 def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
@@ -39,6 +47,35 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Device-put every array in the pytree with its batch dim sharded."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Assemble the GLOBAL batch-sharded arrays from each process's local
+    shard (multi-host: every host loaded a disjoint slice via the per-host
+    sharded Loader, data/dataset.py:73-101). Single-process this is plain
+    ``shard_batch``; under ``jax.distributed`` the global batch is the
+    concatenation of the hosts' local shards in process order (the
+    accelerate-DDP per-rank loader equivalent, reference train.py:176-178)."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh, axis_name)
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
+def replicate_global(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a host-local pytree over every device of a (possibly
+    multi-process) mesh. All hosts must hold the same values (e.g. params
+    initialized from the same PRNG key)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        tree, mesh, jax.sharding.PartitionSpec()
+    )
 
 
 def is_main_process() -> bool:

@@ -285,35 +285,57 @@ def main():
     _log(f"inpaint-50 bf16 device = {p50_inp50:.2f} ms")
 
     # ---- machine-checked FLOP accounting + MFU at the bf16 batch-256
-    # operating point (fixes the round-2 "~4.2 GFLOP" DESIGN.md error)
+    # operating point (fixes the round-2 "~4.2 GFLOP" DESIGN.md error).
+    # XLA's cost_analysis counts a lax.scan body ONCE regardless of trip
+    # count, so the plan's FLOPs are composed: encoder + num_steps * one
+    # denoiser forward, each cost-analyzed as its own program.
+    from autonomous_driving_with_diffusion_model_tpu.models.temporal_unet import (
+        TemporalMapUnet,
+    )
+
+    def _flops(lowered) -> float:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
     gflop_per_plan = mfu_pct = achieved_tflops = peak_tflops = None
     try:
         Bm = 256
         initB = jnp.asarray(rng.standard_normal((Bm, 16, 7)), jnp.float32)
         imgB = jnp.tile(img, (Bm, 1, 1, 1))
-        cost = sample16.lower(variables, initB, image=imgB).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            gflop_per_plan = flops / Bm / 1e9
-            tp = tp_bf16.get(Bm)
-            if tp:
-                achieved_tflops = tp * gflop_per_plan / 1e3
-                kind = jax.devices()[0].device_kind.lower()
-                peaks = {  # dense bf16 TFLOP/s per chip (public specs)
-                    "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-                    "v6 lite": 918.0, "v6e": 918.0, "v4": 275.0, "v3": 123.0,
-                }
-                for key, pk in peaks.items():
-                    if key in kind:
-                        peak_tflops = pk
-                        break
-                if peak_tflops:
-                    mfu_pct = 100.0 * achieved_tflops / peak_tflops
-        _log(f"cost_analysis: {gflop_per_plan and round(gflop_per_plan, 1)} GFLOP/plan, "
-             f"{achieved_tflops and round(achieved_tflops, 1)} TFLOP/s achieved, "
-             f"MFU {mfu_pct and round(mfu_pct, 1)}%")
+        tB = jnp.full((Bm,), 1.0, jnp.float32)
+
+        enc_fn = jax.jit(
+            lambda v, im: model16.apply(
+                v, im, train=False, method=TemporalMapUnet.encode_image
+            )
+        )
+        feat = jax.eval_shape(enc_fn, variables, imgB)
+        featB = jnp.zeros(feat.shape, feat.dtype)
+        unet_fn = jax.jit(lambda v, x, t, f: model16.apply(v, x, time=t, img_feature=f))
+        enc_flops = _flops(enc_fn.lower(variables, imgB))
+        unet_flops = _flops(unet_fn.lower(variables, initB, tB, featB))
+        flops = enc_flops + 50 * unet_flops
+        gflop_per_plan = flops / Bm / 1e9
+        _log(f"FLOPs/plan: encoder {enc_flops / Bm / 1e9:.2f} + 50 x unet "
+             f"{unet_flops / Bm / 1e9:.3f} = {gflop_per_plan:.2f} GFLOP")
+        tp = tp_bf16.get(Bm)
+        if tp:
+            achieved_tflops = tp * gflop_per_plan / 1e3
+            kind = jax.devices()[0].device_kind.lower()
+            peaks = {  # dense bf16 TFLOP/s per chip (public specs)
+                "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+                "v6 lite": 918.0, "v6e": 918.0, "v4": 275.0, "v3": 123.0,
+            }
+            for key, pk in peaks.items():
+                if key in kind:
+                    peak_tflops = pk
+                    break
+            if peak_tflops:
+                mfu_pct = 100.0 * achieved_tflops / peak_tflops
+        _log(f"achieved {achieved_tflops and round(achieved_tflops, 1)} TFLOP/s, "
+             f"MFU {mfu_pct and round(mfu_pct, 1)}% of {peak_tflops} peak")
     except Exception as exc:  # cost_analysis availability varies by backend
         _log(f"cost_analysis unavailable: {type(exc).__name__}: {exc}")
 

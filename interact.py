@@ -18,6 +18,11 @@ def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None, type=str)
     parser.add_argument("--save-bev-path", default=None, type=str)
+    parser.add_argument(
+        "--plot-on-world", default=False, action="store_true",
+        help="draw planned waypoints into the live simulator "
+             "(reference interact.py:305-312)",
+    )
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--fake-env", default=False, action="store_true")
     parser.add_argument(
@@ -74,7 +79,10 @@ def main():
         env = create_env(env_config, seed=args.seed or 0)
 
     planner = DiffusionPlanner(cfg, seed=args.seed or 0)
-    agent = InteractAgent(cfg, env, planner=planner, bev_save_path=args.save_bev_path)
+    agent = InteractAgent(
+        cfg, env, planner=planner, bev_save_path=args.save_bev_path,
+        plot_on_world=args.plot_on_world,
+    )
     steps = agent.run(max_steps=args.max_steps)
     print(f"Closed loop finished after {steps} steps")
     if server is not None:

@@ -286,6 +286,26 @@ class _Settings(SimpleNamespace):
     pass
 
 
+class Color:
+    def __init__(self, r=0, g=0, b=0, a=255):
+        self.r, self.g, self.b, self.a = r, g, b, a
+
+
+class _DebugHelper:
+    """Records draw calls (real carla renders them in the simulator)."""
+
+    def __init__(self):
+        self.strings = []
+        self.points = []
+
+    def draw_string(self, location, text, draw_shadow=False, color=None,
+                    life_time=-1, persistent_lines=True):
+        self.strings.append((location, text))
+
+    def draw_point(self, location, size=0.1, color=None, life_time=-1):
+        self.points.append((location, size))
+
+
 class _World:
     def __init__(self):
         self.frame = 0
@@ -294,6 +314,7 @@ class _World:
         self.sensors = []
         self.weather = SimpleNamespace()
         self._map = _Map()
+        self.debug = _DebugHelper()
 
     def get_settings(self):
         return self.settings

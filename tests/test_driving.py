@@ -136,6 +136,27 @@ def test_interact_agent_with_free_guidance():
     assert control.shape == (3,)
 
 
+def test_interact_agent_plot_on_world(monkeypatch):
+    """--plot-on-world draws the planned waypoints through the env world's
+    debug surface in WORLD coordinates (reference interact.py:305-312)."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    cfg = tiny_cfg("NO_GUIDANCE")
+    env = FakeDrivingEnv(image_hw=(32, 48), bev_hw=(64, 64))
+    env.world = mock_carla._World()  # fake env + a mock debug surface
+    agent = InteractAgent(cfg, env, plot_on_world=True)
+    agent.run(max_steps=2)
+    drawn = env.world.debug.strings
+    # 16 waypoints per plan, one plan per step
+    assert len(drawn) == 2 * 16
+    # drawn near the ego's current world position (traj is meters, ego-frame)
+    state = env.reset()
+    cur = np.asarray(state["cur_waypoint"])[0]
+    pts = np.array([[loc.x, loc.y] for loc, _text in drawn[:16]])
+    assert np.linalg.norm(pts - np.asarray(cur)[None], axis=1).max() < 2 * 23.315
+
+
 def test_interact_agent_2dim_model_pid_path():
     """TRANSITION_DIM=2 waypoint-only model: control comes from the PID
     controller over the first 4 waypoints (reference: interact.py:298-307)."""
