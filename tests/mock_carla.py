@@ -10,6 +10,8 @@ import numpy as np
 
 class Location:
     def __init__(self, x=0.0, y=0.0, z=0.0):
+        if isinstance(x, Location):  # copy-constructor, like real carla
+            x, y, z = x.x, x.y, x.z
         self.x, self.y, self.z = float(x), float(y), float(z)
 
     def distance(self, other):
@@ -19,6 +21,9 @@ class Location:
 
     def __add__(self, other):
         return Location(self.x + other.x, self.y + other.y, self.z + other.z)
+
+    def __sub__(self, other):
+        return Location(self.x - other.x, self.y - other.y, self.z - other.z)
 
 
 class Rotation:
@@ -55,6 +60,17 @@ class VehicleControl:
 class Vector3D:
     def __init__(self, x=0.0, y=0.0, z=0.0):
         self.x, self.y, self.z = float(x), float(y), float(z)
+
+    def __mul__(self, s):
+        return Vector3D(self.x * s, self.y * s, self.z * s)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        return Vector3D(self.x + other.x, self.y + other.y, self.z + other.z)
+
+    def __sub__(self, other):
+        return Vector3D(self.x - other.x, self.y - other.y, self.z - other.z)
 
 
 class WalkerControl:

@@ -100,11 +100,20 @@ def main(args):
     from autonomous_driving_with_diffusion_model_tpu.diffusion import make_schedule_from_cfg
     from autonomous_driving_with_diffusion_model_tpu.models import build_model
     from autonomous_driving_with_diffusion_model_tpu.parallel import (
+        initialize_distributed,
         is_main_process,
         make_mesh,
-        replicated,
-        shard_batch,
+        replicate_global,
+        shard_global_batch,
     )
+
+    # multi-host launch: every host runs this same script with
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set (the
+    # accelerate-launch equivalent, reference README.md:83-88); each host
+    # loads its own dataset shard and feeds TRAIN.BATCH_SIZE samples, so the
+    # global batch is N_hosts x BATCH_SIZE (like per-GPU batch under DDP)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("JAX_NUM_PROCESSES"):
+        initialize_distributed()
     from autonomous_driving_with_diffusion_model_tpu.train import (
         create_train_state,
         export_torch_checkpoint,
@@ -176,7 +185,7 @@ def main(args):
         evaluate(cfg, model, ema_vars, schedule, filename="test.png")
         return
 
-    state = jax.device_put(state, replicated(mesh))
+    state = replicate_global(state, mesh)
     train_step = jax.jit(make_train_step(model, schedule, cfg), donate_argnums=(0,))
     loader = get_loader(cfg, train=True)
     use_augment = cfg.TRAIN.USE_IMG_AUGMENTOR
@@ -233,7 +242,7 @@ def main(args):
             images = (images - IMAGENET_MEAN) / IMAGENET_STD
         else:
             images = normalize_images(images)
-        device_batch = shard_batch(
+        device_batch = shard_global_batch(
             {
                 "image": images,
                 "trajs": jnp.asarray(batch["trajs"]),
