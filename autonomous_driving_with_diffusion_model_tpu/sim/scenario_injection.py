@@ -210,7 +210,14 @@ def sample_scenarios(
             except (IndexError, ValueError):
                 return -1
 
-        choice = max(candidates, key=number)
+        # reference select_scenario keeps the LAST among equal numbers
+        # (route_scenario.py:356-370 uses >=), not the first
+        choice = None
+        higher = -1
+        for cand in candidates:
+            if number(cand) >= higher:
+                higher = number(cand)
+                choice = cand
         candidates.remove(choice)
         while any(_positions_overlap(choice, s) for s in sampled):
             if not candidates:
