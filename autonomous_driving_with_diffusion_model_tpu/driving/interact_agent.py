@@ -34,6 +34,7 @@ class InteractAgent:
         bev_save_path: Optional[str] = None,
         on_frame: Optional[Callable] = None,
         plot_on_world: bool = False,
+        pipelined: bool = False,
     ):
         self.cfg = cfg
         self.env = env
@@ -45,6 +46,12 @@ class InteractAgent:
         # draw the planned waypoints into the live simulator through the
         # env's world.debug surface (reference: interact.py:305-312)
         self.plot_on_world = plot_on_world
+        # pipelined planning: act on the PREVIOUS frame's plan while the TPU
+        # computes this frame's (plan_begin/plan_fetch overlap device compute
+        # with the sim tick — hides the plan latency entirely at the cost of
+        # one frame of staleness; opt-in, no reference analogue)
+        self.pipelined = pipelined
+        self._pending_plan = None
         if bev_save_path:
             import os
 
@@ -78,7 +85,14 @@ class InteractAgent:
             )[0]
 
         rgb = np.asarray(state["camera"][0], np.uint8)
-        traj = self.planner.plan(rgb, target_point)
+        if self.pipelined:
+            handle = self.planner.plan_begin(rgb, target_point)
+            traj = self.planner.plan_fetch(
+                self._pending_plan if self._pending_plan is not None else handle
+            )
+            self._pending_plan = handle
+        else:
+            traj = self.planner.plan(rgb, target_point)
 
         if self.bev_save_path is not None:
             self._save_bev(np.asarray(state["bev"][0]), traj[0, :, :2])

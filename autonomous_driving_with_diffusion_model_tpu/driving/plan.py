@@ -182,6 +182,19 @@ class DiffusionPlanner:
 
     def plan_hypotheses(self, rgb_u8: np.ndarray, target: Optional[np.ndarray] = None):
         """All K hypotheses: ((K, horizon, 7) trajectories, best index)."""
+        trajs, best = self.plan_begin(rgb_u8, target)
+        return np.asarray(trajs), int(best)
+
+    # ------------------------------------------------------------- pipelining
+
+    def plan_begin(self, rgb_u8: np.ndarray, target: Optional[np.ndarray] = None):
+        """Dispatch the fused plan WITHOUT waiting: returns device arrays
+        (trajs, best) the TPU is still computing. JAX dispatch is
+        asynchronous, so the caller can overlap the plan with host work (the
+        next sim tick, sensor decode) and fetch one frame later —
+        the standard latency-hiding deployment pattern; no reference
+        analogue (its eager per-step loop is host-blocking throughout).
+        Identical numerics to ``plan`` (tests/test_driving.py)."""
         import jax
         import jax.numpy as jnp
 
@@ -196,8 +209,13 @@ class DiffusionPlanner:
             tgt = jnp.asarray(np.asarray(target, np.float32).reshape(1, 2))
         else:
             tgt = jnp.zeros((1, 2), jnp.float32)
-        trajs, best = self._plan(self.variables, init, jnp.asarray(rgb_u8), tgt, rng)
-        return np.asarray(trajs), int(best)
+        return self._plan(self.variables, init, jnp.asarray(rgb_u8), tgt, rng)
+
+    def plan_fetch(self, handle) -> np.ndarray:
+        """Block on a ``plan_begin`` handle; returns the same (1, horizon, 7)
+        best-hypothesis trajectory ``plan`` would."""
+        trajs, best = handle
+        return np.asarray(trajs)[int(best)][None]
 
     # ---------------------------------------------------------------- control
 

@@ -23,6 +23,11 @@ def parse_args():
         help="draw planned waypoints into the live simulator "
              "(reference interact.py:305-312)",
     )
+    parser.add_argument(
+        "--pipelined", default=False, action="store_true",
+        help="act on the previous frame's plan while the TPU computes this "
+             "frame's (hides plan latency; one frame of staleness)",
+    )
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--fake-env", default=False, action="store_true")
     parser.add_argument(
@@ -81,7 +86,7 @@ def main():
     planner = DiffusionPlanner(cfg, seed=args.seed or 0)
     agent = InteractAgent(
         cfg, env, planner=planner, bev_save_path=args.save_bev_path,
-        plot_on_world=args.plot_on_world,
+        plot_on_world=args.plot_on_world, pipelined=args.pipelined,
     )
     steps = agent.run(max_steps=args.max_steps)
     print(f"Closed loop finished after {steps} steps")

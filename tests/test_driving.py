@@ -136,6 +136,58 @@ def test_interact_agent_with_free_guidance():
     assert control.shape == (3,)
 
 
+def test_plan_begin_fetch_matches_plan():
+    """The async dispatch path (plan_begin/plan_fetch) returns exactly what
+    the blocking plan() would for the same frame (fixed init noise)."""
+    cfg = tiny_cfg("NO_GUIDANCE")
+    planner = DiffusionPlanner(cfg)
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (32, 48, 3), np.uint8)
+    blocking = planner.plan(rgb)
+    handle = planner.plan_begin(rgb)
+    np.testing.assert_array_equal(planner.plan_fetch(handle), blocking)
+
+
+def test_interact_agent_pipelined_one_frame_staleness():
+    """Pipelined mode: control at step t comes from the frame-(t-1) plan
+    (the first step acts on its own plan). On a replayed obs sequence the
+    pipelined trajectory stream equals the sequential stream shifted by one."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import ReplayEnv
+
+    cfg = tiny_cfg("NO_GUIDANCE")
+    rng = np.random.default_rng(3)
+    obs = [
+        {
+            "camera": [rng.integers(0, 255, (32, 48, 3), np.uint8)],
+            "bev": [np.zeros((64, 64, 3), np.uint8)],
+            "compass": [[0.0]],
+            "cur_waypoint": np.zeros((1, 2)),
+            "next_waypoint": np.zeros((1, 2)),
+            "next_command": [4],
+            "state": [[0.0, 1.0, 0.5, 0.0, 0.0]],
+            "at_red_light": [0],
+        }
+        for _ in range(4)
+    ]
+    planner = DiffusionPlanner(cfg)
+
+    seq_frames, pipe_frames = [], []
+    agent = InteractAgent(
+        cfg, ReplayEnv(list(obs)), planner=planner,
+        on_frame=lambda s, t, c: seq_frames.append(np.asarray(t)),
+    )
+    agent.run(max_steps=3)
+    agent_p = InteractAgent(
+        cfg, ReplayEnv(list(obs)), planner=planner, pipelined=True,
+        on_frame=lambda s, t, c: pipe_frames.append(np.asarray(t)),
+    )
+    agent_p.run(max_steps=3)
+
+    np.testing.assert_array_equal(pipe_frames[0], seq_frames[0])
+    for t in range(1, 3):
+        np.testing.assert_array_equal(pipe_frames[t], seq_frames[t - 1])
+
+
 def test_interact_agent_plot_on_world(monkeypatch):
     """--plot-on-world draws the planned waypoints through the env world's
     debug surface in WORLD coordinates (reference interact.py:305-312)."""
