@@ -150,24 +150,34 @@ class Loader:
                 yield batch
 
 
-def get_loader(cfg, train: bool = True, seed: int = 0) -> Loader:
+def get_loader(
+    cfg,
+    train: bool = True,
+    seed: int = 0,
+    shard_index: Optional[int] = None,
+    shard_count: Optional[int] = None,
+) -> Loader:
     """Reference get_loader equivalent (dataset/carla_dataset.py:45-58);
     augmentation happens on-device, so the loader only decodes. Under
-    multi-host jax.distributed each process loads its own disjoint shard."""
-    shard_index, shard_count = 0, 1
-    try:
-        import jax
+    multi-host each process loads its own disjoint shard.
 
-        # only consult process topology when jax.distributed is already up —
-        # jax.process_index() would otherwise *initialize* the backend (on
-        # this image: kick off the remote TPU tunnel) as a loader-build side
-        # effect for callers that haven't forced a platform yet
-        from jax._src import distributed as _jd
+    Pass ``shard_index``/``shard_count`` explicitly when the backend is
+    already initialized (train.py does: ``jax.process_index()/count()``) —
+    that covers TPU pods where the runtime is multi-process without an
+    explicit ``jax.distributed.initialize``. Without them the loader only
+    auto-detects an initialized jax.distributed client, because probing
+    ``jax.process_count()`` would *initialize* the backend (on this image:
+    kick off the remote TPU tunnel) as a loader-build side effect."""
+    if shard_index is None or shard_count is None:
+        shard_index, shard_count = 0, 1
+        try:
+            import jax
+            from jax._src import distributed as _jd
 
-        if _jd.global_state.client is not None:
-            shard_index, shard_count = jax.process_index(), jax.process_count()
-    except Exception:  # pre-init or single-host: no sharding
-        pass
+            if _jd.global_state.client is not None:
+                shard_index, shard_count = jax.process_index(), jax.process_count()
+        except Exception:  # pre-init or single-host: no sharding
+            pass
     dataset = TrajDataset(cfg.TRAIN.ROOT)
     return Loader(
         dataset,

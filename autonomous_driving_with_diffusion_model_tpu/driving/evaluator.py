@@ -152,7 +152,20 @@ class RouteEvaluator:
                 pos = new_pos
                 steps += 1
                 if done:
-                    is_completed = True
+                    # done != completed: the native env also terminates on
+                    # blocked/collision/red-light/timeout (sim/terminal.py);
+                    # its episode_stat says which (an infraction-terminated
+                    # route must keep its partial score_route, like the
+                    # leaderboard's RouteCompletionTest)
+                    info = result[3] if len(result) > 3 else None
+                    stat = info.get("episode_stat") if isinstance(info, dict) else None
+                    if stat is not None:
+                        is_completed = bool(stat.get("is_route_completed", 0.0))
+                        completed_m = 1000.0 * float(
+                            stat.get("route_completed_in_km", completed_m / 1000.0)
+                        )
+                    else:
+                        is_completed = True  # simple envs: done == route end
                     break
             counters = self.counters_fn(env)
         except Exception:

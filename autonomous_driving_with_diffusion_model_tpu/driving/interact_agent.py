@@ -164,6 +164,7 @@ class InteractAgent:
         """Closed loop until done/max_steps (the reference loops forever,
         interact.py:276-316 — its ``done`` is never set; SURVEY Appendix C.6)."""
         state = self.env.reset()
+        self._pending_plan = None  # a fresh episode must not act on a stale plan
         steps = 0
         while True:
             control = self.compute_control(state)

@@ -50,19 +50,6 @@ GLOBAL_LABELS = [
     "Agent blocked",
 ]
 
-_VALUE_INFRACTION_ORDER = [
-    "collisions_pedestrian",
-    "collisions_vehicle",
-    "collisions_layout",
-    "red_light",
-    "stop_infraction",
-    "outside_route_lanes",
-    "route_dev",
-    "route_timeout",
-    "vehicle_blocked",
-]
-
-
 def compute_global_record(records: List[Dict], total_routes: int) -> Dict:
     """Aggregate route records into the leaderboard's global record
     (statistics_manager.py:234-280): summed-then-averaged scores, per-km
@@ -90,7 +77,9 @@ def compute_global_record(records: List[Dict], total_routes: int) -> Dict:
             )
 
     for key in scores:
-        scores[key] /= float(total_routes)
+        # zero routes (e.g. a filter matched nothing): an all-zero record,
+        # not a ZeroDivisionError
+        scores[key] /= float(max(total_routes, 1))
 
     return {
         "route_id": -1,
@@ -117,7 +106,9 @@ def finalize_checkpoint(data: Dict, total_routes: int) -> Dict:
         "{:.3f}".format(global_record["scores"]["score_route"]),
         "{:.3f}".format(global_record["scores"]["score_penalty"]),
     ] + [
-        "{:.3f}".format(global_record["infractions"][k]) for k in _VALUE_INFRACTION_ORDER
+        # the values[] columns follow the RouteRecord infraction key order
+        # (statistics_manager.py:309-322)
+        "{:.3f}".format(global_record["infractions"][k]) for k in GLOBAL_INFRACTION_KEYS
     ]
     data["labels"] = list(GLOBAL_LABELS)
 

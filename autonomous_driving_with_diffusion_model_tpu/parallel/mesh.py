@@ -55,14 +55,38 @@ def shard_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") ->
     sharded Loader, data/dataset.py:73-101). Single-process this is plain
     ``shard_batch``; under ``jax.distributed`` the global batch is the
     concatenation of the hosts' local shards in process order (the
-    accelerate-DDP per-rank loader equivalent, reference train.py:176-178)."""
+    accelerate-DDP per-rank loader equivalent, reference train.py:176-178).
+
+    Arrays already on device (e.g. the jit-augmented images in train.py) are
+    assembled from per-device slices without a host round-trip; host numpy
+    arrays go through ``make_array_from_process_local_data``."""
     if jax.process_count() == 1:
         return shard_batch(local_batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-        local_batch,
-    )
+    local_devices = [
+        d for d in mesh.devices.flat if d.process_index == jax.process_index()
+    ]
+
+    def put(x):
+        if isinstance(x, jax.Array):
+            # device-side path: slice the local batch across this host's mesh
+            # devices (mesh order == global shard order for P(axis)) and
+            # declare the global array over all hosts' single-device shards
+            n = len(local_devices)
+            B = x.shape[0]
+            assert B % n == 0, f"local batch {B} not divisible by {n} local devices"
+            per = B // n
+            shards = [
+                jax.device_put(x[i * per : (i + 1) * per], d)
+                for i, d in enumerate(local_devices)
+            ]
+            global_shape = (B * jax.process_count(),) + tuple(x.shape[1:])
+            return jax.make_array_from_single_device_arrays(
+                global_shape, sharding, shards
+            )
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, local_batch)
 
 
 def replicate_global(tree: Any, mesh: Mesh) -> Any:

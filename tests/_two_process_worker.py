@@ -95,7 +95,9 @@ def main():
     for i in range(3):
         local = next(it)
         local = {
-            "image": local["image"].astype(np.float32) / 255.0,
+            # device array, like train.py's jit-augmented images: exercises
+            # shard_global_batch's no-host-roundtrip device assembly path
+            "image": jnp.asarray(local["image"].astype(np.float32) / 255.0),
             "trajs": local["trajs"],
             "target": local["target"],
         }

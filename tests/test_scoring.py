@@ -136,3 +136,60 @@ def test_tracker(tmp_path):
     assert lines[0]["event"] == "run_start"
     assert lines[1]["loss"] == 1.5 and lines[1]["step"] == 10
     assert lines[2]["loss"] == 1.2
+
+
+def test_evaluator_infraction_terminated_route_keeps_partial_score(tmp_path):
+    """done != completed (code-review r3 finding #1): an env that terminates
+    on an infraction reports is_route_completed=0 in its episode_stat — the
+    record must keep the PARTIAL score_route and attribute the failure, not
+    score 100% 'Completed'."""
+
+    class BlockedEnv:
+        """Terminates 'blocked' at step 3, 20% through a 100 m route."""
+
+        def __init__(self):
+            self.counters = EpisodeCounters(vehicle_blocked=1)
+
+        def reset(self):
+            return {"cur_waypoint": np.zeros((1, 2))}
+
+        def step(self, control_dict):
+            self._i = getattr(self, "_i", 0) + 1
+            obs = {"cur_waypoint": np.asarray([[self._i * 5.0, 0.0]])}
+            done = self._i >= 3
+            info = {}
+            if done:
+                info["episode_stat"] = episode_stats(
+                    self.counters, route_length_m=100.0, route_completed_m=20.0,
+                    is_route_completed=False,
+                )
+            return obs, 0.0, done, info
+
+    class StopAgent:
+        def compute_control(self, state):
+            return np.zeros(3)
+
+    env = BlockedEnv()
+    ev = RouteEvaluator(
+        agent_factory=lambda: StopAgent(),
+        env_factory=lambda route: env,
+        routes=[{"id": "r0", "length_m": 100.0}],
+        checkpoint_path=str(tmp_path / "c.json"),
+        max_steps_per_route=10,
+        counters_fn=lambda e: e.counters,
+    )
+    rec = ev.run()["_checkpoint"]["records"][0]
+    assert rec["status"] == "Failed - Agent got blocked"
+    assert rec["scores"]["score_route"] == pytest.approx(20.0)  # percent
+    assert rec["scores"]["score_composed"] < 100.0
+
+
+def test_finalize_checkpoint_handles_zero_routes():
+    from autonomous_driving_with_diffusion_model_tpu.driving.leaderboard_stats import (
+        finalize_checkpoint,
+    )
+
+    data = {"_checkpoint": {"records": [], "progress": [0, 0]}}
+    out = finalize_checkpoint(data, 0)
+    assert out["_checkpoint"]["global_record"]["scores"]["score_composed"] == 0.0
+    assert out["entry_status"] == "Finished"

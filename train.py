@@ -187,7 +187,14 @@ def main(args):
 
     state = replicate_global(state, mesh)
     train_step = jax.jit(make_train_step(model, schedule, cfg), donate_argnums=(0,))
-    loader = get_loader(cfg, train=True)
+    # explicit shard topology: the backend is up by now, and on TPU pods the
+    # runtime is multi-process even without jax.distributed.initialize — the
+    # loader must shard whenever shard_global_batch will treat batches as
+    # per-host shards, or every host would feed duplicated data
+    loader = get_loader(
+        cfg, train=True,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+    )
     use_augment = cfg.TRAIN.USE_IMG_AUGMENTOR
     augment = jax.jit(augment_batch) if use_augment else None
 
