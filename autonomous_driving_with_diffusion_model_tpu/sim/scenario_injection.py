@@ -322,12 +322,16 @@ def build_injection(
                 ControlLossEvent((wp["x"], wp["y"]), seed=seed + i)
             )
         elif num in (3, 4):
-            spawn = _offset_transform(wp, forward_m=8.0, right_m=lane_width)
+            # S4left turns put the crossing hazard on the LEFT shoulder
+            # (VehicleTurningRoute crosses from the turn side); S3 and
+            # S4right cross from the right shoulder
+            side = -1.0 if definition.get("scenario_type") == "S4left" else 1.0
+            spawn = _offset_transform(wp, forward_m=8.0, right_m=side * lane_width)
             yaw = math.radians(wp["yaw"])
             walker_specs.append({
                 "spawn_xy": (spawn[0], spawn[1]),
-                # cross to the LEFT across the ego lane (perpendicular)
-                "cross_dir": (math.sin(yaw), -math.cos(yaw)),
+                # cross the ego lane perpendicularly, from the spawn side
+                "cross_dir": (side * math.sin(yaw), -side * math.cos(yaw)),
                 "trigger_xy": (wp["x"], wp["y"]),
                 "trigger_dist": 18.0,
                 "speed": 1.8,  # m/s, brisk crossing

@@ -311,3 +311,36 @@ def test_injected_walker_causes_pedestrian_collision(mock, tmp_path):
     if stat is not None:  # terminal variant may end the episode on collision
         assert stat["score_penalty"] <= 0.50  # pedestrian penalty factor
     env.close()
+
+
+def test_s4left_walker_crosses_from_the_left():
+    d = {
+        "name": "Scenario4", "other_actors": None, "scenario_type": "S4left",
+        "trigger_position": {"x": 0.0, "y": 0.0, "z": 0.0, "yaw": 0.0},
+    }
+    inj = build_injection([d])
+    walker = inj["walker_specs"][0]
+    assert walker["spawn_xy"][1] == pytest.approx(-3.5)  # left shoulder
+    assert walker["cross_dir"][1] == pytest.approx(1.0)  # crossing rightward
+
+
+def test_leaderboard_suite_stamps_scenarios_json(tmp_path, monkeypatch):
+    """build_leaderboard_tasks carries town + scenarios_json into every task
+    (flag and ADM_SCENARIOS_JSON env var)."""
+    import os
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.suites import (
+        build_suite_tasks,
+        default_description_root,
+    )
+
+    if default_description_root() is None:
+        pytest.skip("scenario descriptions not mounted")
+    sj = str(tmp_path / "s.json")
+    open(sj, "w").write("{}")
+    tasks = build_suite_tasks("LeaderBoard-v0", scenarios_json=sj)
+    assert tasks and all(t["town"] == "Town01" for t in tasks)
+    assert all(t["scenarios_json"] == sj for t in tasks)
+    monkeypatch.setenv("ADM_SCENARIOS_JSON", sj)
+    tasks2 = build_suite_tasks("LeaderBoard-v0")
+    assert all(t["scenarios_json"] == sj for t in tasks2)
