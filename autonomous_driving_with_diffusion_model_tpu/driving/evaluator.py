@@ -101,6 +101,7 @@ class RouteEvaluator:
         completed_m = 0.0
         counters = EpisodeCounters()
         is_completed = False
+        env_timeout = False
         sim_watchdog = agent_watchdog = None
         if self.step_timeout is not None:
             # dual watchdogs like the leaderboard's scenario manager
@@ -164,6 +165,7 @@ class RouteEvaluator:
                         completed_m = 1000.0 * float(
                             stat.get("route_completed_in_km", completed_m / 1000.0)
                         )
+                        env_timeout = bool(stat.get("timeout", 0.0))
                     else:
                         is_completed = True  # simple envs: done == route end
                     break
@@ -183,11 +185,13 @@ class RouteEvaluator:
                     wd.stop()
 
         # leaderboard failure attribution (statistics_manager.py:196-232): a
-        # route that terminated on a blocked/deviation infraction is "Failed -
+        # route that terminated on a timeout/blocked/deviation is "Failed -
         # <reason>"; endless/max-step episodes with no terminal infraction
         # stay "Completed" (our suites include endless tasks with no target)
         if status == "Completed" and not is_completed:
-            if counters.vehicle_blocked:
+            if env_timeout:
+                status = "Failed - Agent timed out"
+            elif counters.vehicle_blocked:
                 status = "Failed - Agent got blocked"
             elif counters.route_dev:
                 status = "Failed - Agent deviated from the route"
@@ -219,7 +223,9 @@ class RouteEvaluator:
                 ["event"] if counters.outside_lane_m + counters.wrong_lane_m > 0 else []
             ),
             "route_dev": ["event"] * counters.route_dev,
-            "route_timeout": [],
+            # the leaderboard's single terminate-time timeout event
+            # (atomic_criteria ActorSpeedAboveThresholdTest / route timeout)
+            "route_timeout": ["Route timeout."] if env_timeout else [],
         }
         assert set(INFRACTION_KEYS) <= set(infractions)
         return {

@@ -193,3 +193,43 @@ def test_finalize_checkpoint_handles_zero_routes():
     out = finalize_checkpoint(data, 0)
     assert out["_checkpoint"]["global_record"]["scores"]["score_composed"] == 0.0
     assert out["entry_status"] == "Finished"
+
+
+def test_evaluator_env_timeout_attributed(tmp_path):
+    """An env timeout terminal becomes 'Failed - Agent timed out' with the
+    leaderboard's route_timeout infraction event."""
+
+    class TimeoutEnv:
+        counters = EpisodeCounters()
+
+        def reset(self):
+            return {"cur_waypoint": np.zeros((1, 2))}
+
+        def step(self, control_dict):
+            stat = episode_stats(
+                self.counters, route_length_m=100.0, route_completed_m=40.0,
+                is_route_completed=False, timeout=True,
+            )
+            return (
+                {"cur_waypoint": np.asarray([[40.0, 0.0]])},
+                0.0,
+                True,
+                {"episode_stat": stat},
+            )
+
+    class StopAgent:
+        def compute_control(self, state):
+            return np.zeros(3)
+
+    ev = RouteEvaluator(
+        agent_factory=lambda: StopAgent(),
+        env_factory=lambda route: TimeoutEnv(),
+        routes=[{"id": "r0", "length_m": 100.0}],
+        checkpoint_path=str(tmp_path / "c.json"),
+        max_steps_per_route=10,
+        counters_fn=lambda e: e.counters,
+    )
+    rec = ev.run()["_checkpoint"]["records"][0]
+    assert rec["status"] == "Failed - Agent timed out"
+    assert rec["infractions"]["route_timeout"] == ["Route timeout."]
+    assert rec["scores"]["score_route"] == pytest.approx(40.0)
