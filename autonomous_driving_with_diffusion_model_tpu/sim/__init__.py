@@ -12,7 +12,7 @@ and collector (see driving.fake_env for the contract).
 from .birdview import BirdviewRenderer
 from .map_raster import LaneStrip, rasterize_map, save_h5, strips_from_carla_map
 from .collector import DataCollector, count_current_saved, world_to_agent
-from .collect_loop import collect_loop
+from .collect_loop import collect_loop, collect_sharded, merge_shards
 from .create_agent import ENV_FACTORIES, create_env, create_server, register_env_factory
 from .criteria import (
     Blocked,
@@ -83,6 +83,8 @@ __all__ = [
     "count_current_saved",
     "world_to_agent",
     "collect_loop",
+    "collect_sharded",
+    "merge_shards",
     "CarlaServerManager",
     "kill_carla",
     "create_server",

@@ -42,6 +42,11 @@ def parse_args():
     parser.add_argument("--town", default=None, type=str)
     parser.add_argument("--max-env-steps", default=None, type=int)
     parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument(
+        "--port", default=2000, type=int,
+        help="CARLA RPC port (shard-parallel collection gives each shard its "
+             "own server/port; see collect_loop --num-shards)",
+    )
     return parser.parse_args()
 
 
@@ -65,7 +70,7 @@ def main():
     else:
         from .create_agent import create_env, create_server
 
-        env_config = {"factory": args.env_factory, "town": args.town}
+        env_config = {"factory": args.env_factory, "town": args.town, "port": args.port}
         server = create_server(env_config, off_screen=args.off_screen)
         env = create_env(env_config, seed=seed)
         collector = DataCollector(

@@ -1,21 +1,34 @@
-"""Crash-restart collection supervisor (reference: misc/collect_loop.py:7-44).
+"""Crash-restart collection supervisor (reference: misc/collect_loop.py:7-44),
+extended with shard-parallel collection across CARLA servers.
 
-Re-launches the collector subprocess until the sample quota is met, resuming
-from the on-disk counts.
+Single shard reproduces the reference loop: re-launch the collector
+subprocess until the sample quota is met, resuming from the on-disk counts.
+With ``--num-shards N`` the quota is split over N concurrently-supervised
+collectors, each writing ``{save_path}/shard_{i}`` against its own server
+port (``--base-port + 10*i``; a CARLA server claims a small port range), then
+the shards are merged into one contiguously-numbered dataset at
+``{save_path}`` (the exact on-disk contract dataset/carla_dataset.py expects).
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
+import os
+import os.path as osp
+import shutil
 import subprocess
 import sys
+import threading
+from typing import List, Sequence
 
 from .collector import count_current_saved
 
-__all__ = ["collect_loop"]
+__all__ = ["collect_loop", "collect_sharded", "merge_shards"]
 
 
-def collect_loop(num_to_collect: int, output_dir: str, extra_args=()):
+def collect_loop(num_to_collect: int, output_dir: str, extra_args: Sequence[str] = ()):
+    """Supervise ONE collector until ``output_dir`` holds the quota."""
     cur_num = count_current_saved(output_dir)
     while cur_num < num_to_collect:
         process = subprocess.Popen(
@@ -27,18 +40,108 @@ def collect_loop(num_to_collect: int, output_dir: str, extra_args=()):
                 output_dir,
                 "--save-num",
                 str(num_to_collect),
-                "--off-screen",
                 *extra_args,
             ]
         )
         process.wait()
         cur_num = count_current_saved(output_dir)
-        print(f"Current collected: {cur_num}/{num_to_collect}")
+        print(f"[{output_dir}] collected: {cur_num}/{num_to_collect}")
+
+
+def merge_shards(shard_dirs: Sequence[str], dest: str) -> int:
+    """Renumber shard datasets into one contiguous dataset at ``dest``.
+
+    Only complete samples (front png + waypoints txt present) are taken; bev
+    images come along when present. Hardlinks where possible, copies across
+    filesystems. Returns the merged sample count."""
+    for sub in ("front", "bev", "waypoints"):
+        os.makedirs(osp.join(dest, sub), exist_ok=True)
+
+    def _place(src, dst):
+        if osp.exists(dst):
+            os.remove(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    out_idx = 0
+    for shard in shard_dirs:
+        fronts = sorted(glob.glob(osp.join(shard, "front", "*.png")))
+        for front in fronts:
+            stem = osp.splitext(osp.basename(front))[0]
+            wp = osp.join(shard, "waypoints", f"{stem}.txt")
+            if not osp.exists(wp):
+                continue  # incomplete sample (collector crashed mid-write)
+            _place(front, osp.join(dest, "front", f"{out_idx:06d}.png"))
+            _place(wp, osp.join(dest, "waypoints", f"{out_idx:06d}.txt"))
+            bev = osp.join(shard, "bev", f"{stem}.png")
+            if osp.exists(bev):
+                _place(bev, osp.join(dest, "bev", f"{out_idx:06d}.png"))
+            out_idx += 1
+    return out_idx
+
+
+def collect_sharded(
+    num_to_collect: int,
+    output_dir: str,
+    num_shards: int,
+    base_port: int = 2000,
+    extra_args: Sequence[str] = (),
+    merge: bool = True,
+) -> int:
+    """Split the quota over ``num_shards`` concurrently-supervised collectors
+    (each with its own save dir + server port), then merge into
+    ``output_dir``. Crash-restart applies per shard; re-running resumes each
+    shard from its on-disk count."""
+    per = num_to_collect // num_shards
+    quotas = [per + (1 if i < num_to_collect % num_shards else 0) for i in range(num_shards)]
+    shard_dirs: List[str] = [osp.join(output_dir, f"shard_{i}") for i in range(num_shards)]
+
+    threads = []
+    for i, (quota, shard_dir) in enumerate(zip(quotas, shard_dirs)):
+        if quota == 0:
+            continue
+        shard_args = list(extra_args) + ["--port", str(base_port + 10 * i), "--seed", str(i)]
+        t = threading.Thread(
+            target=collect_loop, args=(quota, shard_dir, shard_args), daemon=True
+        )
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+
+    if not merge:
+        return sum(count_current_saved(d) for d in shard_dirs)
+    merged = merge_shards(shard_dirs, output_dir)
+    print(f"merged {merged} samples from {num_shards} shards into {output_dir}")
+    return merged
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("--save-num", type=int, required=True)
     parser.add_argument("--save-path", type=str, required=True)
+    parser.add_argument("--num-shards", type=int, default=1)
+    parser.add_argument("--base-port", type=int, default=2000)
+    parser.add_argument("--no-merge", action="store_true")
+    parser.add_argument(
+        "--collector-args", nargs=argparse.REMAINDER, default=[],
+        help="remaining args pass through to collect_cli (e.g. --off-screen, "
+             "--fake-env, --town Town01)",
+    )
     args = parser.parse_args()
-    collect_loop(args.save_num, args.save_path)
+    if args.num_shards <= 1:
+        collect_loop(
+            args.save_num, args.save_path,
+            ["--off-screen"] + list(args.collector_args or []),
+        )
+    else:
+        collect_sharded(
+            args.save_num,
+            args.save_path,
+            args.num_shards,
+            base_port=args.base_port,
+            extra_args=list(args.collector_args or []),
+            merge=not args.no_merge,
+        )
