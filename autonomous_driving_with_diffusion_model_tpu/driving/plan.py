@@ -138,6 +138,7 @@ class DiffusionPlanner:
 
         needs_target = self.use_guidance_type != GuidanceType.NO_GUIDANCE
         hoisted = bool(cfg.TPU.HOIST_PERCEPTION)
+        scorer = str(getattr(cfg.TPU, "HYPOTHESIS_SCORER", "auto")).lower()
         from ..models.temporal_unet import TemporalMapUnet
 
         def _plan(variables, init_trajs, rgb_u8, target, rng):
@@ -160,7 +161,20 @@ class DiffusionPlanner:
                 rng=rng,
                 **kwargs,
             )
-            if needs_target:
+            if scorer == "guidance_loss" and needs_target:
+                # score with the TargetGuidance objective itself (softmin-
+                # weighted whole-trajectory distance, diffusion/guidance.py) —
+                # the same loss classifier guidance descends, applied as a
+                # selector over the K candidates (ROADMAP "hypothesis
+                # selection"); vmapped per hypothesis on normalized coords
+                from ..diffusion.guidance import target_guidance_loss
+
+                score = jax.vmap(
+                    lambda t: target_guidance_loss(
+                        (t / MAGIC_NUM)[None, :, :2], target
+                    )
+                )(trajs)
+            elif needs_target and scorer != "jerk":
                 # closest final waypoint to the (normalized) target point
                 err = trajs[:, -1, :2] / MAGIC_NUM - target[0][None]
                 score = jnp.sum(err * err, axis=-1)

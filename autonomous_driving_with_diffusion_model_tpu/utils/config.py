@@ -257,6 +257,11 @@ def create_cfg() -> CfgNode:
     # program, perception encoded once) and drive the best-scoring one —
     # near-free on the MXU (batch-8 costs ~1.4x batch-1 wall time).
     cfg.TPU.NUM_HYPOTHESES = 1
+    # Hypothesis scorer: "auto" = endpoint-to-target distance for guided
+    # modes, min-jerk for unguided; "guidance_loss" scores with the
+    # TargetGuidance loss itself (softmin-weighted whole-trajectory distance,
+    # the same objective classifier guidance descends); "jerk" forces comfort.
+    cfg.TPU.HYPOTHESIS_SCORER = "auto"
     # Rematerialize the train-step forward on backward (jax.checkpoint):
     # drops activations from HBM for large batch at 900x256 (~1/3 extra fwd
     # FLOPs; gradients unchanged).
