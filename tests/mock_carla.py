@@ -57,6 +57,17 @@ class VehicleControl:
         self.gear = 1
 
 
+class Vector2D:
+    def __init__(self, x=0.0, y=0.0):
+        self.x, self.y = float(x), float(y)
+
+    def __sub__(self, other):
+        return Vector2D(self.x - other.x, self.y - other.y)
+
+    def __add__(self, other):
+        return Vector2D(self.x + other.x, self.y + other.y)
+
+
 class Vector3D:
     def __init__(self, x=0.0, y=0.0, z=0.0):
         self.x, self.y, self.z = float(x), float(y), float(z)

@@ -349,3 +349,41 @@ def test_rotation_matrix_matches_reference_carla_rot_to_mat(mock, monkeypatch, r
         ours = rotation_matrix(roll, pitch, yaw)
         ref = carla_rot_to_mat(mock.Rotation(roll=roll, pitch=pitch, yaw=yaw))
         np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_point_inside_boundingbox_matches_reference(mock, monkeypatch, rng):
+    """Our stop-sign trigger-volume test == the reference RunStopSign's
+    point_inside_boundingbox (incl. the slim-bbox 'bugfix' that squares the
+    extent and its axis-aligned semantics), over random points/boxes
+    (reference run_stop_sign.py:138-166)."""
+    import os
+    from types import SimpleNamespace
+
+    if not os.path.isdir("/root/reference/carla_gym"):
+        pytest.skip("reference not mounted")
+    monkeypatch.syspath_prepend("/root/reference")
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.common.criteria.run_stop_sign import (
+        RunStopSign as RefRunStopSign,
+    )
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.criteria import (
+        point_inside_boundingbox,
+    )
+
+    agree = 0
+    for _ in range(200):
+        px, py = rng.uniform(-10, 10, 2)
+        cx, cy = rng.uniform(-5, 5, 2)
+        ex, ey = rng.uniform(0.1, 6.0, 2)
+        ours = point_inside_boundingbox((px, py), (cx, cy), (ex, ey))
+        ref = RefRunStopSign.point_inside_boundingbox(
+            mock.Location(px, py),
+            mock.Location(cx, cy),
+            SimpleNamespace(x=ex, y=ey),  # fresh: the reference MUTATES it
+        )
+        assert ours == ref, (px, py, cx, cy, ex, ey)
+        agree += ours == ref
+    assert agree == 200
