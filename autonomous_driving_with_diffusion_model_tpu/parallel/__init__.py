@@ -1,6 +1,7 @@
 from .distributed import initialize_distributed, local_batch_slice
 from .mesh import (
     batch_sharding,
+    make_multislice_mesh,
     is_main_process,
     make_mesh,
     replicate_global,
@@ -11,6 +12,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -9,7 +9,7 @@ replicated, with XLA inserting the gradient all-reduce over ICI. Multi-host
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Tuple
 
 import jax
 import numpy as np
@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",
@@ -34,8 +35,44 @@ def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:num_devices]), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over the mesh."""
+def make_multislice_mesh(
+    num_slices: int,
+    devices_per_slice: int = -1,
+    axis_names: Tuple[str, str] = ("dcn", "data"),
+) -> Mesh:
+    """2-D data-parallel mesh for multislice pods: the outer axis maps to DCN
+    (cross-slice) and the inner to ICI (intra-slice), so XLA's gradient
+    all-reduce decomposes into fast in-slice reduce-scatter/all-gather plus a
+    small cross-slice exchange — the standard multislice DP recipe.
+
+    On real multislice hardware, devices are grouped by ``slice_index`` (so
+    each mesh row IS one slice); elsewhere (tests, CPU meshes) devices are
+    split contiguously. Batches shard over BOTH axes via
+    ``batch_sharding(mesh, axis_name=axis_names)``.
+    """
+    devices = jax.devices()
+    if devices_per_slice < 0:
+        assert len(devices) % num_slices == 0, (len(devices), num_slices)
+        devices_per_slice = len(devices) // num_slices
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        by_slice: dict = {}
+        for d in devices:
+            by_slice.setdefault(d.slice_index, []).append(d)
+        assert len(by_slice) == num_slices, (sorted(by_slice), num_slices)
+        grid = [sorted(by_slice[s], key=lambda d: d.id)[:devices_per_slice]
+                for s in sorted(by_slice)]
+    else:
+        flat = devices[: num_slices * devices_per_slice]
+        grid = [
+            flat[i * devices_per_slice : (i + 1) * devices_per_slice]
+            for i in range(num_slices)
+        ]
+    return Mesh(np.asarray(grid), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis_name="data") -> NamedSharding:
+    """Shard the leading (batch) dim over the mesh. ``axis_name`` may be a
+    tuple of axes (multislice: shard the batch over DCN x ICI jointly)."""
     return NamedSharding(mesh, P(axis_name))
 
 
