@@ -76,13 +76,21 @@ class ScenarioVehicle:
 
 class ConstantSpeedAgent:
     """Route follower at a fixed target speed; full brake within
-    ``success_dist`` of the destination (constant_speed_agent.py:5-41)."""
+    ``success_dist`` of the destination (constant_speed_agent.py:5-41).
+
+    ``stop_after_m``: optional srunner-FollowLeadingVehicle-style phase —
+    drive that many meters from spawn, then hold a full stop (the injected
+    Scenario2 lead forces the ego to brake behind it)."""
 
     def __init__(self, scenario_vehicle: ScenarioVehicle, target_speed: float = 0.0,
-                 success_dist: float = 5.0, **_):
+                 success_dist: float = 5.0, stop_after_m: Optional[float] = None, **_):
         self.sv = scenario_vehicle
         self._success_dist = success_dist
         self._planner = LocalPlanner(target_speed=target_speed)
+        self._stop_after_m = stop_after_m
+        self._traveled = 0.0
+        loc = scenario_vehicle.vehicle.get_location()
+        self._last_xy = np.array([loc.x, loc.y])
 
     def _drive(self) -> np.ndarray:
         tf = self.sv.vehicle.get_transform()
@@ -102,8 +110,17 @@ class ConstantSpeedAgent:
             < self._success_dist
         )
 
+    def _stopped_phase(self) -> bool:
+        if self._stop_after_m is None:
+            return False
+        loc = self.sv.vehicle.get_location()
+        xy = np.array([loc.x, loc.y])
+        self._traveled += float(np.linalg.norm(xy - self._last_xy))
+        self._last_xy = xy
+        return self._traveled >= self._stop_after_m
+
     def get_action(self) -> np.ndarray:
-        if self._at_destination():
+        if self._at_destination() or self._stopped_phase():
             return np.array([0.0, 0.0, 1.0])
         return self._drive()
 

@@ -344,10 +344,16 @@ def build_injection(
                 TransformSpec(a[0], a[1], 0.2, yaw=a[2]),
                 TransformSpec(b[0], b[1], 0.2, yaw=b[2]),
             ]
+            # S2 (FollowLeadingVehicle): the lead drives a stretch then HOLDS
+            # a stop, forcing the ego to brake behind it (srunner
+            # follow_leading_vehicle.py behavior); S5 keeps rolling slowly
+            kwargs = {"target_speed": 4.0}
+            if num == 2:
+                kwargs["stop_after_m"] = 40.0
             vehicle_configs[sa_id] = {
                 "model": "vehicle.*",
                 "agent_entry_point": "constant_speed_agent:ConstantSpeedAgent",
-                "agent_kwargs": {"target_speed": 4.0},
+                "agent_kwargs": kwargs,
             }
         elif num == 6:
             a = _offset_transform(wp, forward_m=50.0, right_m=-lane_width)

@@ -344,3 +344,65 @@ def test_leaderboard_suite_stamps_scenarios_json(tmp_path, monkeypatch):
     monkeypatch.setenv("ADM_SCENARIOS_JSON", sj)
     tasks2 = build_suite_tasks("LeaderBoard-v0")
     assert all(t["scenarios_json"] == sj for t in tasks2)
+
+
+def test_injected_lead_vehicle_stops_and_ego_yields(mock, tmp_path):
+    """Scenario2 (FollowLeadingVehicle): the injected lead drives its stretch
+    then holds a stop; the expert ego must brake behind it without colliding
+    (the scenario's actual adversarial interaction, not a drive-away)."""
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import (
+        CarlaDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.suites import TransformSpec
+
+    scenarios = {
+        "available_scenarios": [
+            {
+                "Town01": [
+                    {
+                        "scenario_type": "Scenario2",
+                        "available_event_configurations": [
+                            {"transform": {"x": "30.0", "y": "0.0", "z": "0.0",
+                                           "yaw": "0"}}
+                        ],
+                    }
+                ]
+            }
+        ]
+    }
+    json_path = tmp_path / "scenarios.json"
+    json_path.write_text(json.dumps(scenarios))
+    task = {
+        "weather": "ClearNoon",
+        "route_id": 0,
+        "town": "Town01",
+        "scenarios_json": str(json_path),
+        "num_zombie_vehicles": 0,
+        "num_zombie_walkers": 0,
+        "ego_route": [TransformSpec(x=5.0, y=0.0), TransformSpec(x=140.0, y=0.0)],
+        "endless": False,
+        "target_speed": 6.0,
+        "scenario_actors": {},
+        "scenario_actor_configs": {},
+    }
+    env = CarlaDrivingEnv(seed=0, tasks=[task])
+    env.reset()
+    assert len(env.scenario_handler.actors) == 1
+    lead = next(iter(env.scenario_handler.actors.values())).vehicle
+    assert lead.get_location().x == pytest.approx(55.0)  # trigger + 25 m
+
+    ego_held = False
+    for _ in range(400):
+        obs, reward, done, info = env.step({0: None})  # expert
+        if done:
+            break
+        # once the lead holds its stop and the ego has closed in, the expert
+        # must hold too (hazard cone), short of the lead
+        if lead.speed < 0.05 and env.ego.speed < 0.05 and env.ego.get_location().x > 70:
+            ego_held = True
+            break
+    assert lead.get_location().x == pytest.approx(95.0, abs=3.0)  # 40 m stretch
+    assert ego_held, "expert never yielded behind the stopped lead"
+    assert env.ego.get_location().x < lead.get_location().x - 2.0
+    assert env.counters.collisions_vehicle == 0
+    env.close()
