@@ -406,3 +406,76 @@ def test_injected_lead_vehicle_stops_and_ego_yields(mock, tmp_path):
     assert env.ego.get_location().x < lead.get_location().x - 2.0
     assert env.counters.collisions_vehicle == 0
     env.close()
+
+
+def test_injection_infractions_land_in_evaluator_checkpoint(mock, tmp_path):
+    """Injection + evaluator integration: a non-yielding agent on a
+    LeaderBoard-style task with a scenarios JSON collides with the injected
+    crossing walker, and the pedestrian infraction + penalty land in the
+    leaderboard _checkpoint record with the failure properly scored."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluator import (
+        RouteEvaluator,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import (
+        CarlaDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.suites import TransformSpec
+
+    scenarios = {
+        "available_scenarios": [
+            {
+                "Town01": [
+                    {
+                        "scenario_type": "Scenario3",
+                        "available_event_configurations": [
+                            {"transform": {"x": "40.0", "y": "0.0", "z": "0.0",
+                                           "yaw": "0"}}
+                        ],
+                    }
+                ]
+            }
+        ]
+    }
+    json_path = tmp_path / "scenarios.json"
+    json_path.write_text(json.dumps(scenarios))
+    task = {
+        "weather": "ClearNoon",
+        "route_id": 0,
+        "town": "Town01",
+        "scenarios_json": str(json_path),
+        "num_zombie_vehicles": 0,
+        "num_zombie_walkers": 0,
+        "ego_route": [TransformSpec(x=5.0, y=0.0), TransformSpec(x=100.0, y=0.0)],
+        "endless": False,
+        "target_speed": 6.0,
+        "scenario_actors": {},
+        "scenario_actor_configs": {},
+    }
+    env = CarlaDrivingEnv(seed=0, tasks=[task], eval_mode=True)
+
+    class FullThrottleAgent:
+        def compute_control(self, state):
+            return np.array([1.0, 0.0, 0.0])
+
+    def env_factory(route):
+        env._task_idx = route["index"] - 1
+        return env
+
+    ev = RouteEvaluator(
+        agent_factory=FullThrottleAgent,
+        env_factory=env_factory,
+        routes=[{"id": "LeaderBoard-v0/000", "index": 0, "length_m": 95.0}],
+        checkpoint_path=str(tmp_path / "ckpt.json"),
+        max_steps_per_route=500,
+        counters_fn=lambda e: e.counters,
+        route_length_fn=lambda e: e._route_length_m(),
+        env_kind="carla",
+    )
+    data = ev.run(resume=False)
+    rec = data["_checkpoint"]["records"][0]
+    assert rec["infractions"]["collisions_pedestrian"] == ["event"]
+    assert rec["scores"]["score_penalty"] <= 50.0  # 0.5 factor, percent scale
+    assert data["_checkpoint"]["global_record"]["infractions"][
+        "collisions_pedestrian"
+    ] > 0
+    env.close()
