@@ -139,6 +139,10 @@ class DiffusionPlanner:
         needs_target = self.use_guidance_type != GuidanceType.NO_GUIDANCE
         hoisted = bool(cfg.TPU.HOIST_PERCEPTION)
         scorer = str(getattr(cfg.TPU, "HYPOTHESIS_SCORER", "auto")).lower()
+        if scorer not in ("auto", "guidance_loss", "jerk"):
+            raise ValueError(
+                f"TPU.HYPOTHESIS_SCORER={scorer!r}; use auto | guidance_loss | jerk"
+            )
         from ..models.temporal_unet import TemporalMapUnet
 
         def _plan(variables, init_trajs, rgb_u8, target, rng):

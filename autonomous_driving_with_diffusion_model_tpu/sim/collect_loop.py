@@ -28,7 +28,14 @@ __all__ = ["collect_loop", "collect_sharded", "merge_shards"]
 
 
 def collect_loop(num_to_collect: int, output_dir: str, extra_args: Sequence[str] = ()):
-    """Supervise ONE collector until ``output_dir`` holds the quota."""
+    """Supervise ONE collector until ``output_dir`` holds the quota.
+
+    Each (re)launch draws a fresh time-based seed inside collect_cli unless
+    the caller pins one — a crash-restart must not replay the same episode
+    sequence into duplicated samples (reference data_collect.py:36-44)."""
+    extra_args = list(extra_args)
+    if "--off-screen" not in extra_args:
+        extra_args.append("--off-screen")  # headless servers, like the reference
     cur_num = count_current_saved(output_dir)
     while cur_num < num_to_collect:
         process = subprocess.Popen(
@@ -76,9 +83,20 @@ def merge_shards(shard_dirs: Sequence[str], dest: str) -> int:
             _place(front, osp.join(dest, "front", f"{out_idx:06d}.png"))
             _place(wp, osp.join(dest, "waypoints", f"{out_idx:06d}.txt"))
             bev = osp.join(shard, "bev", f"{stem}.png")
+            dest_bev = osp.join(dest, "bev", f"{out_idx:06d}.png")
             if osp.exists(bev):
-                _place(bev, osp.join(dest, "bev", f"{out_idx:06d}.png"))
+                _place(bev, dest_bev)
+            elif osp.exists(dest_bev):
+                os.remove(dest_bev)  # no stale pairing from a prior merge
             out_idx += 1
+
+    # truncate leftovers from a previous, larger merge — a re-merge with
+    # fewer shards/samples must not leave stale samples the loader would see
+    for sub, pat in (("front", "*.png"), ("waypoints", "*.txt"), ("bev", "*.png")):
+        for path in glob.glob(osp.join(dest, sub, pat)):
+            stem = osp.splitext(osp.basename(path))[0]
+            if stem.isdigit() and int(stem) >= out_idx:
+                os.remove(path)
     return out_idx
 
 
@@ -99,17 +117,32 @@ def collect_sharded(
     shard_dirs: List[str] = [osp.join(output_dir, f"shard_{i}") for i in range(num_shards)]
 
     threads = []
+    errors: List[BaseException] = []
+
+    def _supervise(quota, shard_dir, shard_args):
+        try:
+            collect_loop(quota, shard_dir, shard_args)
+        except BaseException as exc:  # propagate to the caller after join
+            errors.append(exc)
+
     for i, (quota, shard_dir) in enumerate(zip(quotas, shard_dirs)):
         if quota == 0:
             continue
-        shard_args = list(extra_args) + ["--port", str(base_port + 10 * i), "--seed", str(i)]
+        # per-shard port only; seeds stay fresh-per-launch inside collect_cli
+        # (a fixed per-shard seed would make every crash-restart replay the
+        # same episodes into duplicated samples)
+        shard_args = list(extra_args) + ["--port", str(base_port + 10 * i)]
         t = threading.Thread(
-            target=collect_loop, args=(quota, shard_dir, shard_args), daemon=True
+            target=_supervise, args=(quota, shard_dir, shard_args), daemon=True
         )
         t.start()
         threads.append(t)
     for t in threads:
         t.join()
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)} shard supervisor(s) failed; first: {errors[0]!r}"
+        ) from errors[0]
 
     if not merge:
         return sum(count_current_saved(d) for d in shard_dirs)
@@ -132,10 +165,7 @@ if __name__ == "__main__":
     )
     args = parser.parse_args()
     if args.num_shards <= 1:
-        collect_loop(
-            args.save_num, args.save_path,
-            ["--off-screen"] + list(args.collector_args or []),
-        )
+        collect_loop(args.save_num, args.save_path, list(args.collector_args or []))
     else:
         collect_sharded(
             args.save_num,

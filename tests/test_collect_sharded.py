@@ -79,3 +79,23 @@ def test_collect_sharded_fake_env_end_to_end(tmp_path):
     # per-shard artifacts remain for resume/debugging
     assert os.path.isdir(osp.join(out, "shard_0"))
     assert os.path.isdir(osp.join(out, "shard_1"))
+
+
+def test_merge_truncates_stale_samples_from_prior_merge(tmp_path):
+    """Re-merging with fewer samples must remove leftovers a loader would see
+    (code-review r3 finding)."""
+    s0, s1 = str(tmp_path / "shard_0"), str(tmp_path / "shard_1")
+    _make_shard(s0, 3)
+    _make_shard(s1, 3, start=5)
+    dest = str(tmp_path)
+    assert merge_shards([s0, s1], dest) == 6
+    # drop a whole shard and re-merge
+    assert merge_shards([s0], dest) == 3
+    fronts = sorted(os.listdir(osp.join(dest, "front")))
+    assert fronts == [f"{i:06d}.png" for i in range(3)]
+    assert sorted(os.listdir(osp.join(dest, "waypoints"))) == [
+        f"{i:06d}.txt" for i in range(3)
+    ]
+    from autonomous_driving_with_diffusion_model_tpu.data.dataset import TrajDataset
+
+    assert len(TrajDataset(dest)) == 3

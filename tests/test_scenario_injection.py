@@ -474,7 +474,7 @@ def test_injection_infractions_land_in_evaluator_checkpoint(mock, tmp_path):
     data = ev.run(resume=False)
     rec = data["_checkpoint"]["records"][0]
     assert rec["infractions"]["collisions_pedestrian"] == ["event"]
-    assert rec["scores"]["score_penalty"] <= 50.0  # 0.5 factor, percent scale
+    assert rec["scores"]["score_penalty"] <= 0.5  # pedestrian penalty factor
     assert data["_checkpoint"]["global_record"]["infractions"][
         "collisions_pedestrian"
     ] > 0
