@@ -132,6 +132,27 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
         return best
 
+    def inloop_ms(call3, variables, init, img_, n=32, iters=4, repeats=3):
+        """TRUE device per-plan time: ``n`` plans inside ONE jitted program
+        (single dispatch), serialized by a data dependency; the image is
+        perturbed per iteration (1e-12 * carry) so XLA cannot hoist the
+        perception encode out of the repeat loop. This removes the relay's
+        per-dispatch floor (~5 ms on this tunneled setup), which bounds
+        ``chained_ms`` from below for short programs — chained numbers are
+        then an UPPER bound on device time; these are the honest ones.
+
+        ``call3(v, x, im) -> trajs`` with any other operands baked in."""
+
+        def wrapper(v, x, im):
+            def body(c, _):
+                out = call3(v, c, im + 1e-12 * c[0, 0, 0])
+                return x + 1e-12 * out[0, 0, 0], None
+            c, _ = jax.lax.scan(body, x, None, length=n)
+            return c
+
+        w = jax.jit(wrapper)
+        return chained_ms(w, variables, init, img_, iters=iters, repeats=repeats) / n
+
     # ---- fp32 DDIM-50 model (round-1 comparable) + scan-unroll tuning
     _log("building fp32 DDIM-50 model...")
     cfg = create_cfg()
@@ -348,6 +369,57 @@ def main():
     except Exception as exc:  # cost_analysis availability varies by backend
         _log(f"cost_analysis unavailable: {type(exc).__name__}: {exc}")
 
+    # ---- in-loop (single-dispatch) device latencies for every closed-loop
+    # operating point: the honest per-plan device times (see inloop_ms)
+    inloop = {}
+    for tag, call3, init_, n in (
+        ("ddim50_bf16", lambda v, x, im: sample16(v, x, image=im), init1, 16),
+        ("cfg_ddim10_bf16",
+         lambda v, x, im: sample_f(v, x, image=im, target=target), init1, 32),
+        ("classifier_ddim2_bf16",
+         lambda v, x, im: sample_c16(v, x, image=im, target=target), init1, 32),
+        ("inpaint_ddim50_bf16",
+         lambda v, x, im: sample_inp(v, x, image=im, rng=jax.random.PRNGKey(0),
+                                     target_traj=target_traj,
+                                     target_mask=target_mask), init1, 16),
+    ):
+        vset = variables_f if tag.startswith("cfg") else (
+            variables_c if tag.startswith("classifier") else variables
+        )
+        try:
+            _log(f"compiling in-loop x{n} {tag}...")
+            ms = inloop_ms(call3, vset, init_, img, n=n)
+            inloop[tag] = ms
+            _log(f"in-loop {tag}: {ms:.3f} ms/plan (device)")
+        except Exception as exc:
+            _log(f"in-loop {tag} failed: {type(exc).__name__}: {exc}")
+
+    if inloop.get("ddim50_bf16"):
+        p50 = min(p50_bf16, inloop["ddim50_bf16"])
+    else:
+        p50 = p50_bf16
+
+    # per-U-Net-step latency at batch 1 (sequencing-bound — DESIGN.md):
+    # (in-loop plan - in-loop encoder) / 50 steps, both single-dispatch
+    us_per_step_b1 = enc_b1_ms = None
+    try:
+        def enc_call(v, x, im):
+            feat = model16.apply(
+                v, im, train=False, method=TemporalMapUnet.encode_image
+            )
+            return feat[:, :, None]  # 3-D for the carry chain
+
+        _log("compiling in-loop x64 encoder (batch 1)...")
+        enc_b1_ms = inloop_ms(enc_call, variables, init1, img, n=64)
+        plan_ms = inloop.get("ddim50_bf16", p50_bf16)
+        if enc_b1_ms < plan_ms:
+            us_per_step_b1 = (plan_ms - enc_b1_ms) / 50.0 * 1000.0
+            _log(f"encoder {enc_b1_ms:.3f} ms -> {us_per_step_b1:.0f} us per denoise step")
+        else:  # interference swamped the split this run
+            _log(f"encoder measured {enc_b1_ms:.3f} ms >= plan; split skipped")
+    except Exception as exc:
+        _log(f"per-step split unavailable: {type(exc).__name__}")
+
     # ---- training throughput: fwd+bwd+AdamW+EMA device step time
     # (reference envelope: train.py:221-325; synthetic on-device batch so the
     # tunnel never transfers the 256x900 images)
@@ -416,7 +488,8 @@ def main():
         _log(f"train {tag}: {ms:.2f} ms/step, {train_sps[tag]:.1f} samples/s/chip")
         del state_t, step_t, batch, variables_t
 
-    p50 = p50_bf16  # headline: default deployment dtype
+    # headline: default deployment dtype; the in-loop figure when available
+    # (single-dispatch device time), else the chained upper bound
     result = {
         "metric": "p50_plan_latency_ms_ddim50_bf16",
         "value": round(p50, 3),
@@ -444,14 +517,23 @@ def main():
             "train_samples_per_s_per_chip": {
                 k: round(v, 1) for k, v in train_sps.items()
             },
+            "p50_plan_latency_ms_inloop": {
+                k: round(v, 3) for k, v in inloop.items()
+            },
+            "us_per_unet_step_b1_bf16": us_per_step_b1 and round(us_per_step_b1, 1),
+            "encoder_b1_ms_bf16": enc_b1_ms and round(enc_b1_ms, 3),
             "gflop_per_plan_ddim50": gflop_per_plan and round(gflop_per_plan, 2),
             "achieved_tflops_bf16_b256": achieved_tflops and round(achieved_tflops, 1),
             "peak_tflops_bf16": peak_tflops,
             "mfu_pct_bf16_b256": mfu_pct and round(mfu_pct, 1),
             "latency_basis": (
-                "device time, chained execution, min over repeated trials; "
-                "host_roundtrip_p50_ms is the per-call figure on this tunneled "
-                "dev setup (~25-30 ms relay RPC), not a co-located deployment"
+                "p50_plan_latency_ms_inloop = TRUE device time (N plans in one "
+                "jitted program, single dispatch; the headline uses it when "
+                "available). Per-call chained figures are an upper bound: the "
+                "relay's per-dispatch floor (~5 ms here) dominates programs "
+                "shorter than it. host_roundtrip_p50_ms is the per-call "
+                "host-in-the-loop figure on this tunneled dev setup, not a "
+                "co-located deployment"
             ),
             "host_roundtrip_p50_ms": round(host_p50, 3),
         },
