@@ -198,17 +198,20 @@ def main():
     cfg16.EVAL.SAMPLE_STEPS = 50
     cfg16.TPU.COMPUTE_DTYPE = "bfloat16"
     model16 = build_model(cfg16)
-    # the headline: measure BOTH unroll variants and keep the better one —
-    # run-to-run interference on the shared tunnel chip (up to ~35%) exceeds
-    # the unroll effect, so a single draw can invert the choice
+    # the headline: measure BOTH unroll variants with the single-dispatch
+    # in-loop method (accurate under the relay's per-dispatch floor) and
+    # keep the better one
     p50_bf16 = np.inf
     sample16 = None
     for unroll in (1, 5):
         cfg16.TPU.SCAN_UNROLL = unroll
         sample_u16 = jax.jit(sampler_from_cfg(model16, schedule, cfg16))
-        _log(f"compiling bf16 batch-1 plan (unroll={unroll})...")
-        ms = chained_ms(sample_u16, variables, init1, img)
-        _log(f"bf16 batch-1 unroll={unroll}: {ms:.2f} ms")
+        _log(f"compiling bf16 batch-1 in-loop plan (unroll={unroll})...")
+        ms = inloop_ms(
+            lambda v, x, im, s=sample_u16: s(v, x, image=im),
+            variables, init1, img, n=16,
+        )
+        _log(f"bf16 batch-1 unroll={unroll}: {ms:.3f} ms (device)")
         if ms < p50_bf16:
             p50_bf16 = ms
             sample16 = sample_u16
@@ -371,9 +374,8 @@ def main():
 
     # ---- in-loop (single-dispatch) device latencies for every closed-loop
     # operating point: the honest per-plan device times (see inloop_ms)
-    inloop = {}
+    inloop = {"ddim50_bf16": p50_bf16}  # measured in-loop at the unroll pick
     for tag, call3, init_, n in (
-        ("ddim50_bf16", lambda v, x, im: sample16(v, x, image=im), init1, 16),
         ("cfg_ddim10_bf16",
          lambda v, x, im: sample_f(v, x, image=im, target=target), init1, 32),
         ("classifier_ddim2_bf16",
@@ -394,10 +396,7 @@ def main():
         except Exception as exc:
             _log(f"in-loop {tag} failed: {type(exc).__name__}: {exc}")
 
-    if inloop.get("ddim50_bf16"):
-        p50 = min(p50_bf16, inloop["ddim50_bf16"])
-    else:
-        p50 = p50_bf16
+    p50 = p50_bf16  # in-loop device time at the best unroll
 
     # per-U-Net-step latency at batch 1 (sequencing-bound — DESIGN.md):
     # (in-loop plan - in-loop encoder) / 50 steps, both single-dispatch
