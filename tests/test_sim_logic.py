@@ -278,3 +278,87 @@ def test_local_planner_drives_toward_waypoint():
     lp4 = LocalPlanner(target_speed=6.0)
     t_turn, _, _ = lp4.run_step([((5.0, 0.0), 1)], (0.0, 0.0), 0.0, 5.5)
     assert t_turn < t_lane
+
+
+def test_collision_dedup_matches_reference(monkeypatch, rng):
+    """CollisionTracker == the reference Collision criterion (imported
+    read-only, driven through its real _on_collision/tick) over a randomized
+    event/tick sequence — same-id memory, micro-collision area register/
+    forget, intensity threshold, and type classification all agree
+    (reference collision.py:6-134)."""
+    import os
+    import sys
+    import weakref
+    from types import SimpleNamespace
+
+    if not os.path.isdir("/root/reference/carla_gym"):
+        pytest.skip("reference not mounted")
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    monkeypatch.syspath_prepend("/root/reference")
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.common.criteria.collision import (
+        Collision as RefCollision,
+    )
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.criteria import (
+        CollisionTracker,
+    )
+
+    world = mock_carla._World()
+    vehicle = mock_carla._Vehicle(world, mock_carla.Transform())
+    world.actors.append(vehicle)
+    ref = RefCollision(vehicle, world)
+    ours = CollisionTracker()
+
+    def actor_ns(aid, type_id, x, y):
+        tf = mock_carla.Transform(mock_carla.Location(x, y))
+        return SimpleNamespace(
+            id=aid,
+            type_id=type_id,
+            get_transform=lambda tf=tf: tf,
+            get_velocity=lambda: SimpleNamespace(x=0.0, y=0.0, z=0.0),
+        )
+
+    types = [
+        "vehicle.audi.a2", "walker.pedestrian.0001", "static.prop.container",
+        "traffic.traffic_light", "static.sidewalk",
+    ]
+    t = 0.0
+    events = 0
+    for step in range(120):
+        t += 0.1
+        ex = float(step) * 0.8  # the ego advances
+        vehicle.transform = mock_carla.Transform(mock_carla.Location(ex, 0.0))
+        if rng.random() < 0.4:
+            events += 1
+            aid = int(rng.integers(0, 6))  # small id pool -> same-id repeats
+            type_id = types[int(rng.integers(len(types)))]
+            ox = ex + float(rng.uniform(-2, 2))
+            imp = (float(rng.uniform(0, 50)), 0.0, 0.0)
+            event = SimpleNamespace(
+                frame=step,
+                timestamp=t,
+                actor=vehicle,
+                other_actor=actor_ns(aid, type_id, ox, 1.0),
+                normal_impulse=SimpleNamespace(x=imp[0], y=imp[1], z=imp[2]),
+                transform=vehicle.get_transform(),
+            )
+            RefCollision._on_collision(weakref.ref(ref), event)
+            ours.on_collision((ex, 0.0, 0.0), aid, type_id, imp, step, t)
+
+        ref_info = ref.tick(vehicle, {
+            "relative_simulation_time": t,
+            "start_frame": 0,
+            "start_simulation_time": 0.0,
+        })
+        our_info = ours.tick((ex, 0.0, 0.0), t)
+        assert (ref_info is None) == (our_info is None), f"step {step}"
+        if ref_info is not None:
+            for key in ("step", "simulation_time", "collision_type",
+                        "other_actor_id", "other_actor_type_id", "intensity"):
+                assert our_info[key] == pytest.approx(ref_info[key]), (step, key)
+    assert events > 20  # the sequence actually exercised the dedup rules
