@@ -362,3 +362,115 @@ def test_collision_dedup_matches_reference(monkeypatch, rng):
                         "other_actor_id", "other_actor_type_id", "intensity"):
                 assert our_info[key] == pytest.approx(ref_info[key]), (step, key)
     assert events > 20  # the sequence actually exercised the dedup rules
+
+
+def test_outside_wrong_lane_matches_reference(monkeypatch):
+    """OutsideRouteLaneTracker (+ lane_observation) == the reference
+    OutsideRouteLane criterion driven over the SAME duck-typed map and a
+    scripted trajectory covering: clean driving, off-road drift, an
+    opposite-lane invasion (direction-flip toggle), the return toggle, a
+    junction traversal, and a wrong-direction junction exit
+    (reference outside_route_lane.py:6-119)."""
+    import os
+    import sys
+    from types import SimpleNamespace
+
+    if not os.path.isdir("/root/reference/carla_gym"):
+        pytest.skip("reference not mounted")
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    monkeypatch.syspath_prepend("/root/reference")
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.common.criteria.outside_route_lane import (
+        OutsideRouteLane as RefOutside,
+    )
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.criteria import (
+        OutsideRouteLaneTracker,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.traffic_lights import (
+        lane_observation,
+    )
+
+    JUNCTION = (60.0, 70.0)
+
+    class _WP:
+        def __init__(self, x, y, yaw, lane_id):
+            self.transform = mock_carla.Transform(
+                mock_carla.Location(x, y), mock_carla.Rotation(yaw=yaw)
+            )
+            self.lane_width = 3.5
+            self.lane_id = lane_id
+            self.is_junction = JUNCTION[0] <= x < JUNCTION[1]
+            self.is_intersection = self.is_junction
+            self.road_id = 2 if self.is_junction else (1 if x < JUNCTION[0] else 3)
+
+    class _ORMap:
+        """Two opposite driving lanes (y=0 yaw 0 / y=-3.5 yaw 180) + a
+        parking lane at y=8."""
+
+        def get_waypoint(self, loc, lane_type=None, project_to_road=True):
+            if lane_type == mock_carla.LaneType.Parking:
+                return _WP(loc.x, 8.0, 0.0, -9)
+            lane = min(((0.0, 0.0, -1), (-3.5, 180.0, 1)),
+                       key=lambda l: abs(loc.y - l[0]))
+            return _WP(loc.x, lane[0], lane[1], lane[2])
+
+    fake_map = _ORMap()
+
+    # (x, y, yaw): clean -> off-road drift -> opposite lane -> back ->
+    # junction -> wrong-direction exit
+    script = (
+        [(3.0 * i, 0.0, 0.0) for i in range(8)]            # clean, x to 21
+        + [(24.0 + 3 * i, 4.2, 0.0) for i in range(3)]     # off-road (dist > 3.05 to both)
+        + [(33.0 + 3 * i, 0.0, 0.0) for i in range(2)]     # back in lane
+        + [(39.0 + 3 * i, -3.5, 0.0) for i in range(3)]    # opposite lane: toggle wrong
+        + [(48.0 + 3 * i, 0.0, 0.0) for i in range(3)]     # back: toggle off
+        + [(62.0 + 2 * i, 0.0, 0.0) for i in range(4)]     # junction (wrong forced off)
+        + [(71.0 + 3 * i, -3.5, 0.0) for i in range(3)]    # exit against traffic
+        + [(80.0 + 3 * i, 0.0, 0.0) for i in range(2)]     # recover
+    )
+
+    start = mock_carla.Location(0.0, 0.0)
+    ref = RefOutside(fake_map, start)
+    ours = OutsideRouteLaneTracker()
+
+    flags = []
+    for step, (x, y, yaw) in enumerate(script):
+        loc = mock_carla.Location(x, y)
+        vehicle = SimpleNamespace(
+            get_location=lambda loc=loc: loc,
+            get_transform=lambda loc=loc, yaw=yaw: mock_carla.Transform(
+                loc, mock_carla.Rotation(yaw=yaw)
+            ),
+        )
+        ref_info = ref.tick(
+            vehicle,
+            {"step": step, "relative_simulation_time": 0.1 * step},
+            distance_traveled=3.0,
+        )
+        obs = lane_observation(fake_map, loc)
+        our_info = ours.tick(
+            (x, y, 0.0), yaw,
+            lane_distance=obs.distance,
+            lane_width=obs.lane_width,
+            road_id=obs.road_id,
+            lane_id=obs.lane_id,
+            wp_yaw=obs.wp_yaw,
+            is_junction=obs.is_junction,
+            distance_traveled=3.0,
+            sim_time=0.1 * step,
+            step=step,
+        )
+        assert (ref_info is None) == (our_info is None), f"step {step} ({x},{y})"
+        if ref_info is not None:
+            assert our_info["outside_lane"] == ref_info["outside_lane"], step
+            assert our_info["wrong_lane"] == ref_info["wrong_lane"], step
+            flags.append((step, ref_info["outside_lane"], ref_info["wrong_lane"]))
+
+    # every scripted phase actually fired
+    assert any(o for _s, o, _w in flags), "off-road phase never flagged"
+    assert any(w for _s, _o, w in flags), "wrong-lane phase never flagged"
