@@ -378,6 +378,8 @@ def main():
     for tag, call3, init_, n in (
         ("cfg_ddim10_bf16",
          lambda v, x, im: sample_f(v, x, image=im, target=target), init1, 32),
+        ("cfg_ddim10_bf16_k8",
+         lambda v, x, im: sample_f(v, x, image=im, target=target8), init8, 32),
         ("classifier_ddim2_bf16",
          lambda v, x, im: sample_c16(v, x, image=im, target=target), init1, 32),
         ("inpaint_ddim50_bf16",
