@@ -376,6 +376,12 @@ def main():
     # operating point: the honest per-plan device times (see inloop_ms)
     inloop = {"ddim50_bf16": p50_bf16}  # measured in-loop at the unroll pick
     for tag, call3, init_, n in (
+        ("ddim50_fp32", lambda v, x, im: sample(v, x, image=im), init1, 16),
+        # strict mode re-encodes inside every denoise step; in-loop this
+        # quantifies how much of that XLA's loop-invariant code motion
+        # recovers on its own (DESIGN.md decision 3)
+        ("strict_ddim50_fp32",
+         lambda v, x, im: sample_strict(v, x, image=im), init1, 8),
         ("cfg_ddim10_bf16",
          lambda v, x, im: sample_f(v, x, image=im, target=target), init1, 32),
         ("cfg_ddim10_bf16_k8",
