@@ -25,11 +25,14 @@ Extras:
 - machine-checked FLOP accounting (XLA cost_analysis) -> gflop_per_plan and
   mfu_pct at the bf16 batch-256 operating point.
 
-Latency basis: all latency/throughput numbers are DEVICE time via chained
-execution (min of repeated trials — interference-robust on the shared tunnel
-chip). ``host_roundtrip_p50_ms`` is the per-call host-in-the-loop figure on
-THIS tunneled dev setup (~25-30 ms relay RPC); on a co-located TPU host the
-closed-loop latency is device time + O(0.1 ms) dispatch.
+Latency basis: the headline and every ``p50_plan_latency_ms_inloop`` entry
+are TRUE device time — N plans inside ONE jitted program (single dispatch,
+serialized by data dependency, loop-invariant inputs perturbed so XLA cannot
+hoist them; see ``inloop_ms``). Per-call chained figures remain in the extras
+as an UPPER bound: on this tunneled dev setup each dispatch pays a ~5 ms
+relay floor that dominates shorter programs. ``host_roundtrip_p50_ms`` is the
+per-call host-in-the-loop figure here (~25-30 ms relay RPC); on a co-located
+TPU host closed-loop latency is device time + O(0.1 ms) dispatch.
 """
 
 import json
