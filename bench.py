@@ -29,10 +29,13 @@ Latency basis: the headline and every ``p50_plan_latency_ms_inloop`` entry
 are TRUE device time — N plans inside ONE jitted program (single dispatch,
 serialized by data dependency, loop-invariant inputs perturbed so XLA cannot
 hoist them; see ``inloop_ms``). Per-call chained figures remain in the extras
-as an UPPER bound: on this tunneled dev setup each dispatch pays a ~5 ms
-relay floor that dominates shorter programs. ``host_roundtrip_p50_ms`` is the
-per-call host-in-the-loop figure here (~25-30 ms relay RPC); on a co-located
-TPU host closed-loop latency is device time + O(0.1 ms) dispatch.
+as an UPPER bound: on this tunneled dev setup each call of a NON-trivial
+program carries ~2-4.5 ms of relay-side overhead (measured chained-vs-inloop
+gap; a trivial program chains at ``dispatch_floor_ms`` ~0.2 ms, so the
+overhead is program-dependent, not a constant floor).
+``host_roundtrip_p50_ms`` is the per-call host-in-the-loop figure here
+(~25-30 ms relay RPC); on a co-located TPU host closed-loop latency is
+device time + O(0.1 ms) dispatch.
 """
 
 import json
@@ -140,9 +143,10 @@ def main():
         (single dispatch), serialized by a data dependency; the image is
         perturbed per iteration (1e-12 * carry) so XLA cannot hoist the
         perception encode out of the repeat loop. This removes the relay's
-        per-dispatch floor (~5 ms on this tunneled setup), which bounds
-        ``chained_ms`` from below for short programs — chained numbers are
-        then an UPPER bound on device time; these are the honest ones.
+        per-call overhead (~2-4.5 ms for non-trivial programs on this
+        tunneled setup), which inflates ``chained_ms`` for short programs —
+        chained numbers are an UPPER bound on device time; these are the
+        honest ones.
 
         ``call3(v, x, im) -> trajs`` with any other operands baked in."""
 
@@ -155,6 +159,13 @@ def main():
 
         w = jax.jit(wrapper)
         return chained_ms(w, variables, init, img_, iters=iters, repeats=repeats) / n
+
+    # per-dispatch floor of this setup: a near-empty program, chained. The
+    # measured ~0.2 ms shows the chained-vs-inloop gap on real programs
+    # (~2-4.5 ms) is program-dependent relay overhead, not a constant floor
+    tiny_add = jax.jit(lambda v, x: x + 1.0)
+    dispatch_floor_ms = chained_ms(tiny_add, None, init1, iters=60, repeats=3)
+    _log(f"per-dispatch floor: {dispatch_floor_ms:.3f} ms")
 
     # ---- fp32 DDIM-50 model (round-1 comparable) + scan-unroll tuning
     _log("building fp32 DDIM-50 model...")
@@ -538,13 +549,15 @@ def main():
             "mfu_pct_bf16_b256": mfu_pct and round(mfu_pct, 1),
             "latency_basis": (
                 "p50_plan_latency_ms_inloop = TRUE device time (N plans in one "
-                "jitted program, single dispatch; the headline uses it when "
-                "available). Per-call chained figures are an upper bound: the "
-                "relay's per-dispatch floor (~5 ms here) dominates programs "
-                "shorter than it. host_roundtrip_p50_ms is the per-call "
-                "host-in-the-loop figure on this tunneled dev setup, not a "
-                "co-located deployment"
+                "jitted program, single dispatch; the headline uses it). "
+                "Per-call chained figures are an upper bound: each call of a "
+                "non-trivial program carries ~2-4.5 ms relay-side overhead "
+                "here (dispatch_floor_ms shows a trivial program's ~0.2 ms). "
+                "host_roundtrip_p50_ms is the per-call host-in-the-loop "
+                "figure on this tunneled dev setup, not a co-located "
+                "deployment"
             ),
+            "dispatch_floor_ms": round(dispatch_floor_ms, 3),
             "host_roundtrip_p50_ms": round(host_p50, 3),
         },
     }
