@@ -99,3 +99,36 @@ def test_merge_truncates_stale_samples_from_prior_merge(tmp_path):
     from autonomous_driving_with_diffusion_model_tpu.data.dataset import TrajDataset
 
     assert len(TrajDataset(dest)) == 3
+
+
+def test_collect_loop_always_passes_off_screen(monkeypatch, tmp_path):
+    """The supervisor launches headless by default (review-fix regression:
+    sharded mode must not silently start rendering servers)."""
+    import importlib
+
+    # the package re-exports the collect_loop FUNCTION under the same name,
+    # shadowing the module on attribute import
+    cl = importlib.import_module(
+        "autonomous_driving_with_diffusion_model_tpu.sim.collect_loop"
+    )
+
+    calls = []
+
+    class _P:
+        def __init__(self, argv, **kw):
+            calls.append(argv)
+
+        def wait(self):
+            return 0
+
+    monkeypatch.setattr(cl.subprocess, "Popen", _P)
+    counts = iter([0, 5])
+    monkeypatch.setattr(cl, "count_current_saved", lambda d: next(counts))
+    cl.collect_loop(5, str(tmp_path))
+    assert len(calls) == 1
+    assert "--off-screen" in calls[0]
+    # caller-specified flag isn't duplicated
+    calls.clear()
+    counts = iter([0, 5])
+    cl.collect_loop(5, str(tmp_path), ["--off-screen", "--fake-env"])
+    assert calls[0].count("--off-screen") == 1

@@ -287,3 +287,46 @@ def test_statistics_aggregate():
     # run 0 (i=0,3,6,9,12) has 5 collisions over 5 routes * 1 km each
     assert out["collisions_vehicle"] == pytest.approx((5 / 5 + 0 + 0) / 3)
     assert cal_std([1.0] * 15) == pytest.approx(0.0)
+
+
+def test_interact_cli_flag_plumbing(monkeypatch, tmp_path):
+    """interact.py's --pipelined / --plot-on-world / --save-bev-path reach
+    the InteractAgent constructor (CLI contract guard)."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "interact_cli", "/root/repo/interact.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    captured = {}
+
+    class _Agent:
+        def __init__(self, cfg, env, planner=None, bev_save_path=None,
+                     plot_on_world=False, pipelined=False):
+            captured.update(
+                bev_save_path=bev_save_path,
+                plot_on_world=plot_on_world,
+                pipelined=pipelined,
+            )
+
+        def run(self, max_steps=None):
+            return 0
+
+    import autonomous_driving_with_diffusion_model_tpu.driving as drv
+
+    monkeypatch.setattr(drv, "InteractAgent", _Agent)
+    monkeypatch.setattr(drv, "DiffusionPlanner", lambda cfg, seed=0: None)
+    bev = str(tmp_path / "bev")
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["interact.py", "--fake-env", "--pipelined", "--plot-on-world",
+         "--save-bev-path", bev, "--max-steps", "1",
+         "--opts", "MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny"],
+    )
+    mod.main()
+    assert captured == {
+        "bev_save_path": bev, "plot_on_world": True, "pipelined": True,
+    }
