@@ -148,6 +148,11 @@ def main():
         chained numbers are an UPPER bound on device time; these are the
         honest ones.
 
+        Residual bias: each OUTER call's relay overhead is divided by ``n``,
+        so figures still include ~overhead/n (~0.1-0.6 ms at n=32..8) — a
+        small upper-bound slack, kept comparable by using the same ``n`` for
+        points quoted against each other.
+
         ``call3(v, x, im) -> trajs`` with any other operands baked in."""
 
         def wrapper(v, x, im):
@@ -221,10 +226,15 @@ def main():
         cfg16.TPU.SCAN_UNROLL = unroll
         sample_u16 = jax.jit(sampler_from_cfg(model16, schedule, cfg16))
         _log(f"compiling bf16 batch-1 in-loop plan (unroll={unroll})...")
-        ms = inloop_ms(
-            lambda v, x, im, s=sample_u16: s(v, x, image=im),
-            variables, init1, img, n=16,
-        )
+        try:
+            ms = inloop_ms(
+                lambda v, x, im, s=sample_u16: s(v, x, image=im),
+                variables, init1, img, n=16,
+            )
+        except Exception as exc:  # degrade to the chained upper bound
+            _log(f"in-loop unroll={unroll} failed ({type(exc).__name__}); "
+                 "falling back to chained")
+            ms = chained_ms(sample_u16, variables, init1, img)
         _log(f"bf16 batch-1 unroll={unroll}: {ms:.3f} ms (device)")
         if ms < p50_bf16:
             p50_bf16 = ms
@@ -393,9 +403,10 @@ def main():
         ("ddim50_fp32", lambda v, x, im: sample(v, x, image=im), init1, 16),
         # strict mode re-encodes inside every denoise step; in-loop this
         # quantifies how much of that XLA's loop-invariant code motion
-        # recovers on its own (DESIGN.md decision 3)
+        # recovers on its own (DESIGN.md decision 3). Same n as the hoisted
+        # fp32 point so the quoted ratio carries the same overhead/n slack
         ("strict_ddim50_fp32",
-         lambda v, x, im: sample_strict(v, x, image=im), init1, 8),
+         lambda v, x, im: sample_strict(v, x, image=im), init1, 16),
         ("cfg_ddim10_bf16",
          lambda v, x, im: sample_f(v, x, image=im, target=target), init1, 32),
         ("cfg_ddim10_bf16_k8",

@@ -293,10 +293,12 @@ def test_interact_cli_flag_plumbing(monkeypatch, tmp_path):
     """interact.py's --pipelined / --plot-on-world / --save-bev-path reach
     the InteractAgent constructor (CLI contract guard)."""
     import importlib.util
+    import os
     import sys as _sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "interact_cli", "/root/repo/interact.py"
+        "interact_cli", os.path.join(repo, "interact.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
