@@ -16,7 +16,11 @@ fused sampler WITHOUT torch or the reference checkout:
 - the converted flax U-Net weights minus the perception subtree
   (``param:<path>`` arrays)
 - per-step torch model outputs ``step_outputs`` (S,1,16,7) and per-step
-  trajectories ``step_trajs`` after our DDIM math + anchoring
+  trajectories ``step_trajs`` advanced by the REFERENCE's own scheduler
+  classes (scheduler/guidance_ddim_scheduler.py etc., running on the
+  diffusers-0.28 stub — see tests/diffusers_stub.py) + anchoring.  Since
+  round 4 no repo step function touches the recorded chain: a divergence of
+  diffusion/steps.py from diffusers-0.28.0 semantics fails tests/test_goldens.py.
 - ``expected``: the final clipped, meter-scaled trajectory
 
 tests/test_goldens.py consumes these; parity tests that need the live oracle
@@ -30,20 +34,21 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
-for p in (REPO, REF):
+TESTS = os.path.dirname(os.path.abspath(__file__))
+for p in (REPO, REF, TESTS):
     if p not in sys.path:
         sys.path.insert(0, p)
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # golden regen is CPU-only work
+
 import torch  # noqa: E402
 
-import jax.numpy as jnp  # noqa: E402
+from diffusers_stub import load_reference_schedulers  # noqa: E402
 
 from autonomous_driving_with_diffusion_model_tpu.diffusion import (  # noqa: E402
-    StepConfig,
-    ddim_step,
-    ddim_variance,
     leading_timesteps,
-    make_schedule,
 )
 from autonomous_driving_with_diffusion_model_tpu.models import (  # noqa: E402
     torch_state_dict_to_variables,
@@ -51,11 +56,37 @@ from autonomous_driving_with_diffusion_model_tpu.models import (  # noqa: E402
 from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg  # noqa: E402
 from autonomous_driving_with_diffusion_model_tpu.utils.constants import MAGIC_NUM  # noqa: E402
 
+REF_SCHED = load_reference_schedulers()
+
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 DIM = 8
 STEPS = {"no_guidance": 10, "free_guidance": 5, "classifier_guidance": 2}
 FREE_SCALE = 7.5
 CLASSIFIER_SCALE = 15.0
+T_TRAIN = 100
+
+
+def make_oracle(family: str, n_steps: int, guidance_cfg=None):
+    """Reference scheduler instance, eval-configured like interact.py:81-94
+    (squaredcos betas, prediction sample, thresholding=True)."""
+    cfg = create_cfg()
+    if guidance_cfg is not None:
+        cfg.GUIDANCE.USE_COND = "CLASSIFIER_GUIDANCE"
+        cfg.GUIDANCE.LOSS_LIST = guidance_cfg["loss_list"]
+        cfg.GUIDANCE.CLASSIFIER_SCALE = guidance_cfg["scale"]
+    cls = {
+        "ddim": REF_SCHED.GuidanceDDIMScheduler,
+        "ddpm": REF_SCHED.GuidanceDDPMScheduler,
+    }[family]
+    oracle = cls(
+        cfg,
+        num_train_timesteps=T_TRAIN,
+        prediction_type="sample",
+        beta_schedule="squaredcos_cap_v2",
+        thresholding=True,
+    )
+    oracle.set_timesteps(n_steps)
+    return oracle
 
 
 def build_ref_model(use_cond_name: str, seed: int = 0):
@@ -102,16 +133,14 @@ def make_pack(mode: str):
     with torch.inference_mode():
         img_feature = tmodel.perception(img_t).numpy()
 
-    schedule = make_schedule("squaredcos_cap_v2", 100)
-    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
     steps = STEPS[mode]
+    oracle = make_oracle("ddim", steps)
     ts, prev_ts = leading_timesteps(100, steps)
 
     step_outputs, step_trajs = [], []
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
-    feat_t = torch.from_numpy(img_feature)
-    for t, prev_t in zip(ts, prev_ts):
+    for t in ts:
         if mode == "free_guidance":
             cond_t = torch.from_numpy(
                 np.concatenate([target, np.zeros_like(target)], axis=0)
@@ -128,11 +157,11 @@ def make_pack(mode: str):
                     torch.from_numpy(trajs), img_t, torch.tensor([float(t)])
                 ).numpy()
         step_outputs.append(out.copy())
-        nxt, _ = ddim_step(
-            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
-            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        trajs = (
+            oracle.step(torch.from_numpy(out), int(t), torch.from_numpy(trajs))
+            .prev_sample.numpy()
+            .copy()
         )
-        trajs = np.array(nxt)
         trajs[:, 0, :3] = 0.0
         step_trajs.append(trajs.copy())
 
@@ -170,9 +199,8 @@ def make_classifier_pack():
     re-runs our predict_state network + jax.grad guidance transform + DDIM
     chain against them (U-Net forward parity is covered at dim=8 by the
     other packs; full classifier network parity stays in test_e2e_parity.py
-    against the live oracle)."""
-    from control.guidance import GuidanceLoss as RefGuidanceLoss
-
+    against the live oracle). The chain is advanced by the reference
+    GuidanceDDIMScheduler itself (guidance applied inside step())."""
     rng = np.random.default_rng(42)
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
     img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
@@ -190,42 +218,58 @@ def make_classifier_pack():
     cfg.TRAIN.USE_COND = "CLASSIFIER_GUIDANCE"
     variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
 
-    gcfg = create_cfg()
-    gcfg.GUIDANCE.CLASSIFIER_SCALE = CLASSIFIER_SCALE
-    gcfg.GUIDANCE.LOSS_LIST = [["TargetGuidance", []]]
-    ref_guidance = RefGuidanceLoss(gcfg)
-
-    schedule = make_schedule("squaredcos_cap_v2", 100)
-    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
     steps = STEPS["classifier_guidance"]
+    oracle = make_oracle(
+        "ddim", steps,
+        guidance_cfg={"loss_list": [["TargetGuidance", []]], "scale": CLASSIFIER_SCALE},
+    )
+    plain_oracle = make_oracle("ddim", steps)  # guidance-free twin for the cross-check
+    assert oracle.use_classifier_guidance
     ts, prev_ts = leading_timesteps(100, steps)
 
     actions, time_embeds, guided_outs, step_trajs = [], [], [], []
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
     for t, prev_t in zip(ts, prev_ts):
-        action, time_embed = tmodel(
-            torch.from_numpy(trajs), img_t, torch.tensor([float(t)]),
-            return_action_and_time_only=True,
-        )
-        action = action.detach().requires_grad_()
-        state = tmodel.state_pred(action[:, :-1], time_embed.detach())
-        state = torch.cat([torch.zeros_like(state[:, :1]), state], dim=1)
-        model_output = torch.cat([state, action], dim=-1)
-        variance = float(
-            ddim_variance(schedule, jnp.asarray(int(t)), jnp.asarray(int(prev_t)))
-        )
-        out = ref_guidance(
-            model_output, action, torch.from_numpy(target), float(np.exp(0.5 * variance))
+        with torch.no_grad():
+            action_ng, time_embed = tmodel(
+                torch.from_numpy(trajs), img_t, torch.tensor([float(t)]),
+                return_action_and_time_only=True,
+            )
+
+        def build_graph():
+            # interact.py:145-160 eval graph: detached action re-rooted, state
+            # flows grad from it through state_pred, row 0 zeroed
+            action = action_ng.detach().clone().requires_grad_()
+            state = tmodel.state_pred(action[:, :-1], time_embed.detach())
+            state = torch.cat([torch.zeros_like(state[:, :1]), state], dim=1)
+            return torch.cat([state, action], dim=-1), action
+
+        # record the guided model output with the oracle's own guidance + variance
+        mo_rec, act_rec = build_graph()
+        model_std = torch.exp(0.5 * oracle._get_variance(int(t), int(prev_t)))
+        guided = oracle.guidance_loss(
+            mo_rec, act_rec, torch.from_numpy(target), model_std
         ).detach().numpy()
-        actions.append(action.detach().numpy().copy())
-        time_embeds.append(time_embed.detach().numpy().copy())
-        guided_outs.append(out.copy())
-        nxt, _ = ddim_step(
-            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
-            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        # authoritative advance: the reference scheduler step applies the same
+        # guidance internally (guidance_ddim_scheduler.py:89-92); fresh graph
+        # because autograd.grad freed the first one
+        mo_step, act_step = build_graph()
+        cur = trajs.copy()
+        res = oracle.step(
+            mo_step, int(t), torch.from_numpy(cur),
+            target=torch.from_numpy(target), action=act_step,
         )
-        trajs = np.array(nxt)
+        trajs = res.prev_sample.detach().numpy().copy()
+        # cross-check: stepping the plain oracle on the recorded guided output
+        # must reproduce the guided oracle's step exactly
+        check = plain_oracle.step(
+            torch.from_numpy(guided), int(t), torch.from_numpy(cur)
+        ).prev_sample.numpy()
+        np.testing.assert_allclose(check, trajs, atol=1e-6)
+        actions.append(action_ng.detach().numpy().copy())
+        time_embeds.append(time_embed.detach().numpy().copy())
+        guided_outs.append(guided.copy())
         trajs[:, 0, :3] = 0.0
         step_trajs.append(trajs.copy())
 
@@ -257,8 +301,10 @@ def make_classifier_pack():
 
 def make_ddpm_pack():
     """DDPM sampler golden (the training-eval path, train.py:53-103 uses the
-    DDPM scheduler): recorded per-step oracle outputs + the injected noise."""
-    from autonomous_driving_with_diffusion_model_tpu.diffusion import ddpm_step
+    DDPM scheduler): per-step oracle outputs + the injected noise; chain
+    advanced by the reference GuidanceDDPMScheduler with the noise sequence
+    fed through its randn_tensor."""
+    import scheduler.guidance_ddpm_scheduler as gddpm_mod
 
     rng = np.random.default_rng(43)
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
@@ -272,26 +318,37 @@ def make_ddpm_pack():
     with torch.inference_mode():
         img_feature = tmodel.perception(img_t).numpy()
 
-    schedule = make_schedule("squaredcos_cap_v2", 100)
-    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
     steps = 10
+    oracle = make_oracle("ddpm", steps)
     ts, prev_ts = leading_timesteps(100, steps)
     noise_seq = rng.standard_normal((steps, 1, 16, 7)).astype(np.float32)
+
+    # feed the recorded noise through the oracle's randn_tensor (only drawn
+    # for t > 0, guidance_ddpm_scheduler.py:155-162)
+    queue = [noise_seq[i] for i, t in enumerate(ts) if t > 0]
+    orig_randn = gddpm_mod.randn_tensor
+    gddpm_mod.randn_tensor = lambda *a, **k: torch.from_numpy(queue.pop(0))
 
     step_outputs, step_trajs = [], []
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
-    for i, (t, prev_t) in enumerate(zip(ts, prev_ts)):
-        with torch.inference_mode():
-            out = tmodel(torch.from_numpy(trajs), img_t, torch.tensor([float(t)])).numpy()
-        step_outputs.append(out.copy())
-        nxt, _ = ddpm_step(
-            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
-            jnp.asarray(int(prev_t)), jnp.asarray(trajs), jnp.asarray(noise_seq[i]),
-        )
-        trajs = np.array(nxt)
-        trajs[:, 0, :3] = 0.0
-        step_trajs.append(trajs.copy())
+    try:
+        for t in ts:
+            with torch.inference_mode():
+                out = tmodel(
+                    torch.from_numpy(trajs), img_t, torch.tensor([float(t)])
+                ).numpy()
+            step_outputs.append(out.copy())
+            trajs = (
+                oracle.step(torch.from_numpy(out), int(t), torch.from_numpy(trajs))
+                .prev_sample.numpy()
+                .copy()
+            )
+            trajs[:, 0, :3] = 0.0
+            step_trajs.append(trajs.copy())
+    finally:
+        gddpm_mod.randn_tensor = orig_randn
+    assert not queue
 
     expected = np.clip(trajs, -1.0, 1.0)
     expected[..., :2] *= MAGIC_NUM
@@ -314,9 +371,8 @@ def make_ddpm_pack():
 
 def make_inpaint_pack():
     """RePaint DDIM inpainting golden incl. the reference's scalar-variance
-    quirk (inpainting_ddim_scheduler.py:109-128)."""
-    from autonomous_driving_with_diffusion_model_tpu.diffusion import inpaint_blend_ddim
-
+    quirk (inpainting_ddim_scheduler.py:109-128); chain advanced by the
+    reference InpaintingDDIMScheduler with injected variance_noise."""
     rng = np.random.default_rng(44)
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
     img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
@@ -332,25 +388,34 @@ def make_inpaint_pack():
     with torch.inference_mode():
         img_feature = tmodel.perception(img_t).numpy()
 
-    schedule = make_schedule("squaredcos_cap_v2", 100)
-    step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
     steps = 8
+    oracle = REF_SCHED.InpaintingDDIMScheduler(
+        num_train_timesteps=T_TRAIN,
+        prediction_type="sample",
+        beta_schedule="squaredcos_cap_v2",
+        thresholding=True,
+    )
+    oracle.set_timesteps(steps)
     ts, prev_ts = leading_timesteps(100, steps)
     noise_seq = rng.standard_normal((steps, 1, 16, 7)).astype(np.float32)
 
     step_outputs, step_trajs = [], []
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
-    for i, (t, prev_t) in enumerate(zip(ts, prev_ts)):
+    for i, t in enumerate(ts):
         with torch.inference_mode():
             out = tmodel(torch.from_numpy(trajs), img_t, torch.tensor([float(t)])).numpy()
         step_outputs.append(out.copy())
-        nxt, _ = inpaint_blend_ddim(
-            schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
-            jnp.asarray(int(prev_t)), jnp.asarray(trajs), jnp.asarray(noise_seq[i]),
-            target_traj=jnp.asarray(target_traj), target_mask=jnp.asarray(target_mask),
+        trajs = (
+            oracle.step(
+                torch.from_numpy(out), int(t), torch.from_numpy(trajs),
+                variance_noise=torch.from_numpy(noise_seq[i]),
+                target_traj=torch.from_numpy(target_traj),
+                target_mask=torch.from_numpy(target_mask),
+            )
+            .prev_sample.numpy()
+            .copy()
         )
-        trajs = np.array(nxt)
         trajs[:, 0, :3] = 0.0
         step_trajs.append(trajs.copy())
 

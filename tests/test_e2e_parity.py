@@ -1,11 +1,13 @@
-"""End-to-end sampling-loop parity: reference torch model driven step-by-step
-through our scheduler math vs our fully-fused sampler with converted weights.
+"""End-to-end sampling-loop parity: reference torch model + the REFERENCE's
+own scheduler classes driven step-by-step vs our fully-fused sampler with
+converted weights.
 
-This is the strongest full-loop check available without diffusers installed:
-the torch oracle produces every denoiser output; our DDIM step + thresholding
-+ anchoring advance the trajectory; the result must match the single fused
-XLA program bit-for-bit to float tolerance (BASELINE.json "waypoint L2
-parity").
+Since round 4 the torch side is a full independent oracle: the reference
+model produces every denoiser output AND the reference
+GuidanceDDIMScheduler (running on tests/diffusers_stub.py) advances the
+trajectory — no repo step function touches the expected chain.  The result
+must match the single fused XLA program to float tolerance (BASELINE.json
+"waypoint L2 parity").
 """
 
 import sys
@@ -18,13 +20,16 @@ REF = "/root/reference"
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
+from diffusers_stub import load_reference_schedulers  # noqa: E402
+
+REF_SCHED = load_reference_schedulers()
+
 import jax
 import jax.numpy as jnp
 
 from autonomous_driving_with_diffusion_model_tpu.diffusion import (
     SamplerConfig,
     StepConfig,
-    ddim_step,
     leading_timesteps,
     make_sampler,
     make_schedule,
@@ -61,33 +66,41 @@ def pair():
     return tmodel, jmodel, variables, cfg
 
 
+def _make_ddim_oracle(n_steps, cfg=None):
+    ocfg = create_cfg()
+    if cfg is not None:
+        ocfg.GUIDANCE.USE_COND = cfg.GUIDANCE.USE_COND
+        ocfg.GUIDANCE.LOSS_LIST = cfg.GUIDANCE.LOSS_LIST
+        ocfg.GUIDANCE.CLASSIFIER_SCALE = cfg.GUIDANCE.CLASSIFIER_SCALE
+    oracle = REF_SCHED.GuidanceDDIMScheduler(
+        ocfg,
+        num_train_timesteps=100,
+        prediction_type="sample",
+        beta_schedule="squaredcos_cap_v2",
+        thresholding=True,
+    )
+    oracle.set_timesteps(n_steps)
+    return oracle
+
+
 def test_full_sampling_loop_parity(pair, rng):
     tmodel, jmodel, variables, cfg = pair
     schedule = make_schedule("squaredcos_cap_v2", 100)
     step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
-    ts, prev_ts = leading_timesteps(100, cfg.EVAL.SAMPLE_STEPS)
+    ts, _ = leading_timesteps(100, cfg.EVAL.SAMPLE_STEPS)
+    oracle = _make_ddim_oracle(cfg.EVAL.SAMPLE_STEPS)
 
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
     img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
     img_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
 
-    # --- reference-driven loop: torch model per step, our step math between
+    # --- fully reference-driven loop: torch model AND reference scheduler
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
     with torch.inference_mode():
-        for t, prev_t in zip(ts, prev_ts):
-            out = tmodel(
-                torch.from_numpy(trajs), img_t, torch.tensor([float(t)])
-            ).numpy()
-            nxt, _ = ddim_step(
-                schedule,
-                step_cfg,
-                jnp.asarray(out),
-                jnp.asarray(int(t)),
-                jnp.asarray(int(prev_t)),
-                jnp.asarray(trajs),
-            )
-            trajs = np.array(nxt)  # writable copy
+        for t in ts:
+            out = tmodel(torch.from_numpy(trajs), img_t, torch.tensor([float(t)]))
+            trajs = oracle.step(out, int(t), torch.from_numpy(trajs)).prev_sample.numpy().copy()
             trajs[:, 0, :3] = 0.0
     expected = np.clip(trajs, -1.0, 1.0)
     expected[..., :2] *= MAGIC_NUM
@@ -149,20 +162,17 @@ def test_cfg_sampling_loop_parity(rng):
     # reference dual-batch cond: [target; zeros] (interact.py:119-127)
     cond_t = torch.from_numpy(np.concatenate([target, np.zeros_like(target)], axis=0))
 
+    oracle = _make_ddim_oracle(5)
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
     with torch.inference_mode():
-        for t, prev_t in zip(ts, prev_ts):
+        for t in ts:
             x2 = torch.from_numpy(np.concatenate([trajs, trajs], axis=0))
             out_cond, out_uncond = tmodel(
                 x2, img_t, torch.tensor([float(t)]), cond=cond_t
             ).chunk(2, dim=0)
-            out = (out_uncond + 7.5 * (out_cond - out_uncond)).numpy()
-            nxt, _ = ddim_step(
-                schedule, step_cfg, jnp.asarray(out), jnp.asarray(int(t)),
-                jnp.asarray(int(prev_t)), jnp.asarray(trajs),
-            )
-            trajs = np.array(nxt)
+            out = out_uncond + 7.5 * (out_cond - out_uncond)
+            trajs = oracle.step(out, int(t), torch.from_numpy(trajs)).prev_sample.numpy().copy()
             trajs[:, 0, :3] = 0.0
     expected = np.clip(trajs, -1.0, 1.0)
     expected[..., :2] *= MAGIC_NUM
@@ -179,13 +189,10 @@ def test_cfg_sampling_loop_parity(rng):
 
 
 def test_classifier_sampling_loop_parity(rng):
-    """Classifier-guided sampling: torch oracle (model + reference GuidanceLoss
-    autograd) per step vs our fused sampler with jax.grad guidance
+    """Classifier-guided sampling: full torch oracle (model + the reference
+    GuidanceDDIMScheduler applying GuidanceLoss autograd inside step()) vs our
+    fused sampler with jax.grad guidance
     (reference interact.py:145-160 + guidance_ddim_scheduler.py:89-92)."""
-    from control.guidance import GuidanceLoss as RefGuidanceLoss
-
-    from autonomous_driving_with_diffusion_model_tpu.diffusion import ddim_variance
-
     tmodel = _build_ref_model("CLASSIFIER_GUIDANCE", dim=64)
     cfg = create_cfg()
     cfg.MODEL.DIM = 64
@@ -196,11 +203,12 @@ def test_classifier_sampling_loop_parity(rng):
     cfg.EVAL.SAMPLE_STEPS = 2
     jmodel = build_model(cfg, dtype=jnp.float32)
     variables = torch_state_dict_to_variables(tmodel.state_dict(), cfg)
-    ref_guidance = RefGuidanceLoss(cfg)
 
     schedule = make_schedule("squaredcos_cap_v2", 100)
     step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
-    ts, prev_ts = leading_timesteps(100, 2)
+    ts, _ = leading_timesteps(100, 2)
+    oracle = _make_ddim_oracle(2, cfg)
+    assert oracle.use_classifier_guidance
 
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
     img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
@@ -209,7 +217,7 @@ def test_classifier_sampling_loop_parity(rng):
 
     trajs = init.copy()
     trajs[:, 0, :3] = 0.0
-    for t, prev_t in zip(ts, prev_ts):
+    for t in ts:
         # torch forward with grads enabled through state_pred (interact.py:145-160)
         action, time_embed = tmodel(
             torch.from_numpy(trajs), img_t, torch.tensor([float(t)]),
@@ -219,16 +227,15 @@ def test_classifier_sampling_loop_parity(rng):
         state = tmodel.state_pred(action[:, :-1], time_embed.detach())
         state = torch.cat([torch.zeros_like(state[:, :1]), state], dim=1)
         model_output = torch.cat([state, action], dim=-1)
-        variance = float(ddim_variance(schedule, jnp.asarray(int(t)), jnp.asarray(int(prev_t))))
-        model_std = float(np.exp(0.5 * variance))
-        guided = ref_guidance(
-            model_output, action, torch.from_numpy(target), model_std
-        ).detach().numpy()
-        nxt, _ = ddim_step(
-            schedule, step_cfg, jnp.asarray(guided), jnp.asarray(int(t)),
-            jnp.asarray(int(prev_t)), jnp.asarray(trajs),
+        # guidance (variance, model_std, gradient update) happens INSIDE the
+        # reference scheduler step (guidance_ddim_scheduler.py:86-92)
+        trajs = (
+            oracle.step(
+                model_output, int(t), torch.from_numpy(trajs),
+                target=torch.from_numpy(target), action=action,
+            )
+            .prev_sample.detach().numpy().copy()
         )
-        trajs = np.array(nxt)
         trajs[:, 0, :3] = 0.0
     expected = np.clip(trajs, -1.0, 1.0)
     expected[..., :2] *= MAGIC_NUM
