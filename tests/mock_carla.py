@@ -8,6 +8,60 @@ from types import SimpleNamespace
 import numpy as np
 
 
+class _SensorData(SimpleNamespace):
+    """Attribute-bag sensor payloads, typed so the vendored leaderboard
+    CallBack's ``isinstance(data, carla.libcarla.Image)`` dispatch works."""
+
+
+class Image(_SensorData):
+    pass
+
+
+class GnssMeasurement(_SensorData):
+    pass
+
+
+class IMUMeasurement(_SensorData):
+    pass
+
+
+class LidarMeasurement(_SensorData):
+    pass
+
+
+class SemanticLidarMeasurement(_SensorData):
+    pass
+
+
+class RadarMeasurement(_SensorData):
+    pass
+
+
+class _Command(SimpleNamespace):
+    """Batched-command stand-ins (carla.command.*); recorded, not executed."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(args=args, **kwargs)
+
+
+command = SimpleNamespace(
+    DestroyActor=_Command,
+    SetAutopilot=_Command,
+    SpawnActor=_Command,
+    SetVehicleLightState=_Command,
+    FutureActor=object(),
+)
+
+libcarla = SimpleNamespace(
+    Image=Image,
+    GnssMeasurement=GnssMeasurement,
+    IMUMeasurement=IMUMeasurement,
+    LidarMeasurement=LidarMeasurement,
+    SemanticLidarMeasurement=SemanticLidarMeasurement,
+    RadarMeasurement=RadarMeasurement,
+)
+
+
 class Location:
     def __init__(self, x=0.0, y=0.0, z=0.0):
         if isinstance(x, Location):  # copy-constructor, like real carla
@@ -163,6 +217,11 @@ class _Vehicle:
     def is_at_traffic_light(self):
         return False
 
+    @property
+    def is_alive(self):
+        # srunner's CarlaDataProvider.on_carla_tick checks actor.is_alive
+        return self.alive
+
     def destroy(self):
         self.alive = False
 
@@ -185,6 +244,7 @@ class _Sensor:
         self.id = _Vehicle._next_id
         _Vehicle._next_id += 1
         self.type_id = bp.id
+        self.is_alive = True
 
     def listen(self, cb):
         self.callback = cb
@@ -204,11 +264,39 @@ class _Sensor:
             raw = np.zeros((h, w, 4), np.uint8)
             raw[..., :3] = 100
             self.callback(
-                SimpleNamespace(frame=frame, height=h, width=w, raw_data=raw.tobytes())
+                Image(frame=frame, height=h, width=w, raw_data=raw.tobytes())
             )
         elif self.bp.id == "sensor.other.imu":
             yaw = np.deg2rad(self.parent.transform.rotation.yaw)
-            self.callback(SimpleNamespace(frame=frame, compass=float(yaw)))
+            # accelerometer/gyroscope consumed by the vendored CallBack
+            # (sensor_interface.py _parse_imu_cb); compass by both paths
+            self.callback(
+                IMUMeasurement(
+                    frame=frame,
+                    compass=float(yaw),
+                    accelerometer=Vector3D(0.0, 0.0, 9.81),
+                    gyroscope=Vector3D(0.0, 0.0, 0.0),
+                )
+            )
+        elif self.bp.id == "sensor.other.gnss":
+            # web-mercator gps consistent with the route plan conversion
+            from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import (
+                location_to_gps,
+            )
+
+            loc = self.parent.get_location()
+            lat, lon, z = location_to_gps(loc)
+            # the vendored leaderboard CallBack reads transform.location (its
+            # gnss array is [x, y, lat, lon, alt], sensor_interface.py:188-199)
+            self.callback(
+                GnssMeasurement(
+                    frame=frame,
+                    latitude=lat,
+                    longitude=lon,
+                    altitude=z,
+                    transform=Transform(Location(loc.x, loc.y, loc.z)),
+                )
+            )
         elif self.bp.id == "sensor.other.collision":
             # contact = centers within 2 m (tests may also fire events manually)
             p = self.parent.get_location()
@@ -272,6 +360,10 @@ class _Walker:
         n = max(np.hypot(d.x, d.y), 1e-9)
         self.transform.location.x += self.control.speed * d.x / n * dt
         self.transform.location.y += self.control.speed * d.y / n * dt
+
+    @property
+    def is_alive(self):
+        return self.alive
 
     def destroy(self):
         self.alive = False
@@ -378,7 +470,7 @@ class _World:
         self._nav_i = getattr(self, "_nav_i", 0) + 1
         return Location(x=float((self._nav_i * 17) % 140), y=3.0, z=0.0)
 
-    def tick(self):
+    def tick(self, timeout=None):
         self.frame += 1
         dt = self.settings.fixed_delta_seconds or 0.1
         for a in self.actors:
@@ -389,7 +481,30 @@ class _World:
         return self.frame
 
     def get_snapshot(self):
-        return SimpleNamespace(frame=self.frame)
+        # .timestamp consumed by the vendored ScenarioManager/GameTime.
+        # delta_seconds passes through a C++ float in real CARLA, so 0.05
+        # arrives as 0.05000000074505806 — strictly greater than the
+        # SpeedometerReader's float64 1/frame_rate threshold, which is what
+        # makes it deliver EVERY frame. Reproduce that semantics.
+        dt = float(np.float32(self.settings.fixed_delta_seconds or 0.1))
+        return SimpleNamespace(
+            frame=self.frame,
+            timestamp=SimpleNamespace(
+                frame=self.frame,
+                elapsed_seconds=self.frame * dt,
+                delta_seconds=dt,
+                platform_timestamp=0.0,
+            ),
+        )
+
+    def get_spectator(self):
+        if not hasattr(self, "_spectator"):
+            self._spectator = SimpleNamespace(
+                transform=Transform(),
+                set_transform=lambda t: setattr(self._spectator, "transform", t),
+                get_transform=lambda: self._spectator.transform,
+            )
+        return self._spectator
 
     def get_actors(self):
         return self.actors
