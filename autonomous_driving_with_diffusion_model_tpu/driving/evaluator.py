@@ -162,9 +162,15 @@ class RouteEvaluator:
                     stat = info.get("episode_stat") if isinstance(info, dict) else None
                     if stat is not None:
                         is_completed = bool(stat.get("is_route_completed", 0.0))
-                        completed_m = 1000.0 * float(
+                        stat_m = 1000.0 * float(
                             stat.get("route_completed_in_km", completed_m / 1000.0)
                         )
+                        # scoring.episode_stats floors completed_km at 0.001;
+                        # when the stat sits AT the floor our own odometry is
+                        # the honest figure (a zero-progress route must report
+                        # 0 m, not 1 m)
+                        if not (stat_m <= 1.0 and completed_m < stat_m):
+                            completed_m = stat_m
                         env_timeout = bool(stat.get("timeout", 0.0))
                     else:
                         is_completed = True  # simple envs: done == route end

@@ -86,18 +86,25 @@ class InteractAgent:
 
         rgb = np.asarray(state["camera"][0], np.uint8)
         if self.pipelined:
+            # control staleness (acting on the previous frame's plan) is the
+            # documented pipelining trade-off; the debug overlays below must
+            # use the POSE OF THE FRAME THE PLAN WAS MADE FOR, so the state
+            # is cached alongside the pending handle
             handle = self.planner.plan_begin(rgb, target_point)
-            traj = self.planner.plan_fetch(
-                self._pending_plan if self._pending_plan is not None else handle
-            )
-            self._pending_plan = handle
+            if self._pending_plan is not None:
+                prev_handle, plan_state = self._pending_plan
+            else:
+                prev_handle, plan_state = handle, state
+            traj = self.planner.plan_fetch(prev_handle)
+            self._pending_plan = (handle, state)
         else:
             traj = self.planner.plan(rgb, target_point)
+            plan_state = state
 
         if self.bev_save_path is not None:
-            self._save_bev(np.asarray(state["bev"][0]), traj[0, :, :2])
+            self._save_bev(np.asarray(plan_state["bev"][0]), traj[0, :, :2])
         if self.plot_on_world:
-            self._plot_to_world(state, traj)
+            self._plot_to_world(plan_state, traj)
 
         if traj.shape[-1] > 2:
             control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])

@@ -100,9 +100,21 @@ def shard_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") ->
     if jax.process_count() == 1:
         return shard_batch(local_batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
-    local_devices = [
-        d for d in mesh.devices.flat if d.process_index == jax.process_index()
+    flat = list(mesh.devices.flat)
+    positions = [
+        i for i, d in enumerate(flat) if d.process_index == jax.process_index()
     ]
+    # the device-side path assumes this process's devices sit contiguously in
+    # mesh order (true for make_data_parallel_mesh / make_multislice_mesh); a
+    # custom interleaved mesh would silently permute which global rows each
+    # host's samples land on, breaking the documented process-order contract
+    if positions != list(range(positions[0], positions[0] + len(positions))):
+        raise ValueError(
+            "shard_global_batch requires each process's devices to be "
+            f"contiguous in mesh.devices.flat; process {jax.process_index()} "
+            f"occupies positions {positions}"
+        )
+    local_devices = [flat[i] for i in positions]
 
     def put(x):
         if isinstance(x, jax.Array):

@@ -55,22 +55,28 @@ def collect_loop(num_to_collect: int, output_dir: str, extra_args: Sequence[str]
         print(f"[{output_dir}] collected: {cur_num}/{num_to_collect}")
 
 
-def merge_shards(shard_dirs: Sequence[str], dest: str) -> int:
+def merge_shards(shard_dirs: Sequence[str], dest: str, hardlink: bool = False) -> int:
     """Renumber shard datasets into one contiguous dataset at ``dest``.
 
     Only complete samples (front png + waypoints txt present) are taken; bev
-    images come along when present. Hardlinks where possible, copies across
-    filesystems. Returns the merged sample count."""
+    images come along when present. Copies by default so a later re-collection
+    of a shard (which may rewrite a crash-truncated stem in place) cannot
+    silently mutate the merged dataset through a shared inode; pass
+    ``hardlink=True`` for the space-saving variant when shards are final.
+    Returns the merged sample count."""
     for sub in ("front", "bev", "waypoints"):
         os.makedirs(osp.join(dest, sub), exist_ok=True)
 
     def _place(src, dst):
         if osp.exists(dst):
             os.remove(dst)
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+        if hardlink:
+            try:
+                os.link(src, dst)
+                return
+            except OSError:
+                pass
+        shutil.copy2(src, dst)
 
     out_idx = 0
     for shard in shard_dirs:

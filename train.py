@@ -58,8 +58,9 @@ def evaluate(cfg, model, variables, schedule, filename=None, rng_seed=None):
         key, (num_traj, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM), jnp.float32
     )
 
-    front_images = glob.glob(osp.join(cfg.TRAIN.ROOT, "front", "*.png"))
-    front_image_name = random.choice(front_images)
+    front_images = sorted(glob.glob(osp.join(cfg.TRAIN.ROOT, "front", "*.png")))
+    # image choice follows rng_seed too, so a fixed seed is fully deterministic
+    front_image_name = random.Random(seed).choice(front_images)
     img = cv2.cvtColor(cv2.imread(front_image_name), cv2.COLOR_BGR2RGB)
     image = jnp.tile(normalize_images(jnp.asarray(img))[None], (num_traj, 1, 1, 1))
 
