@@ -444,7 +444,12 @@ class CarlaDrivingEnv:
             ]
             potential = scan_route_for_scenarios(town, scan_route, annotations)
             sampled = sample_scenarios(potential, seed=self._task.get("route_id", 0))
-            injection = build_injection(sampled, seed=self._task.get("route_id", 0))
+            injection = build_injection(
+                sampled,
+                seed=self._task.get("route_id", 0),
+                walker_speed=self._task.get("walker_speed"),
+                walker_trigger_dist=self._task.get("walker_trigger_dist"),
+            )
             scenario_routes.update(injection["vehicle_routes"])
             scenario_configs.update(injection["vehicle_configs"])
             walker_specs = injection["walker_specs"]

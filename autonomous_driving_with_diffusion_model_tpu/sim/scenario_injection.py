@@ -278,7 +278,12 @@ def _offset_transform(wp: dict, forward_m: float = 0.0, right_m: float = 0.0):
 
 
 def build_injection(
-    definitions: Sequence[dict], *, lane_width: float = 3.5, seed: int = 0
+    definitions: Sequence[dict],
+    *,
+    lane_width: float = 3.5,
+    seed: int = 0,
+    walker_speed: Optional[float] = None,
+    walker_trigger_dist: Optional[float] = None,
 ) -> Dict:
     """Translate sampled scenario definitions into native adversaries.
 
@@ -293,11 +298,17 @@ def build_injection(
     Spawn geometry per behavior (divergences vs the srunner scenario classes
     are registered in docs/PARITY.md):
 
-    * lead vehicle (S2/S5): 25 m ahead of the trigger along its yaw, driving
+    * lead vehicle (S2/S5): 25 m ahead of the trigger along its yaw
+      (srunner follow_leading_vehicle.py:73 _first_vehicle_location), driving
       on at a low target speed;
     * crossing walker (S3/S4): on the right shoulder one lane out, crossing
-      left across the road when the ego is within 18 m;
-    * oncoming vehicle (S6): one lane left, 50 m ahead, yaw flipped;
+      left across the road when the ego is within 14 m at 3.8 m/s — srunner's
+      DynamicObjectCrossing values for a driving lane directly beside the
+      sidewalk (num_lane_changes = 2: trigger 12 + n, speed 3 + 0.4n,
+      object_crash_vehicle.py:257,386; extracted as oracle in
+      tests/test_srunner_envelopes.py);
+    * oncoming vehicle (S6): one lane left, 50 m ahead, yaw flipped, at
+      srunner's 5.56 m/s _opposite_speed (maneuver_opposite_direction.py:65);
     * junction crosser (S7-S10): at the JSON's other_actors transform when
       present, else one lane left 30 m ahead, crossing straight.
     """
@@ -333,8 +344,12 @@ def build_injection(
                 # cross the ego lane perpendicularly, from the spawn side
                 "cross_dir": (side * math.sin(yaw), -side * math.cos(yaw)),
                 "trigger_xy": (wp["x"], wp["y"]),
-                "trigger_dist": 18.0,
-                "speed": 1.8,  # m/s, brisk crossing
+                # srunner DynamicObjectCrossing on a sidewalk-adjacent lane:
+                # dist = 12 + num_lane_changes, speed = 3 + 0.4*num_lane_changes
+                # with num_lane_changes = 2 (object_crash_vehicle.py:309-341,386);
+                # overridable for envs that need a slower/lingering hazard
+                "trigger_dist": 14.0 if walker_trigger_dist is None else walker_trigger_dist,
+                "speed": 3.8 if walker_speed is None else walker_speed,
                 "cross_m": 2.5 * lane_width,
             })
         elif num in (2, 5):
@@ -366,7 +381,9 @@ def build_injection(
             vehicle_configs[sa_id] = {
                 "model": "vehicle.*",
                 "agent_entry_point": "constant_speed_agent:ConstantSpeedAgent",
-                "agent_kwargs": {"target_speed": 6.0},
+                # srunner ManeuverOppositeDirection._opposite_speed
+                # (maneuver_opposite_direction.py:65)
+                "agent_kwargs": {"target_speed": 5.56},
             }
         elif num in (7, 8, 9, 10):
             others = definition.get("other_actors") or {}

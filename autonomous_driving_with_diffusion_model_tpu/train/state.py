@@ -132,7 +132,12 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
 
     def loss_fn(params, batch_stats, batch, rng):
         trajs = batch["trajs"].astype(jnp.float32)
-        image = batch["image"].astype(jnp.float32)
+        # keep floating images in their given dtype: the encoder's convs cast
+        # to the compute dtype anyway, and a bf16 input pipeline halves the
+        # image HBM traffic (uint8 loader output still upcasts)
+        image = batch["image"]
+        if not jnp.issubdtype(image.dtype, jnp.floating):
+            image = image.astype(jnp.float32)
         B = trajs.shape[0]
         rng_t, rng_noise, rng_drop, rng_dropout = jax.random.split(rng, 4)
         t = jax.random.randint(rng_t, (B,), 0, time_steps)

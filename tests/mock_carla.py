@@ -37,6 +37,16 @@ class RadarMeasurement(_SensorData):
     pass
 
 
+class LaneType:
+    """Distinct sentinels mirroring carla.LaneType (srunner lane walks)."""
+
+    Driving = "Driving"
+    Sidewalk = "Sidewalk"
+    Shoulder = "Shoulder"
+    Parking = "Parking"
+    Any = "Any"
+
+
 class _Command(SimpleNamespace):
     """Batched-command stand-ins (carla.command.*); recorded, not executed."""
 
@@ -216,6 +226,9 @@ class _Vehicle:
 
     def is_at_traffic_light(self):
         return False
+
+    def get_world(self):
+        return self.world
 
     @property
     def is_alive(self):
@@ -524,23 +537,45 @@ ROAD_END = 150.0
 
 
 class Waypoint:
-    """Waypoint on the mock's single straight road (y=0, heading +x)."""
+    """Waypoint on the mock's single straight road (y=0, heading +x).
 
-    def __init__(self, x):
+    ``lane_type``/``get_right_lane`` model a driving lane directly beside the
+    sidewalk (the srunner DynamicObjectCrossing lane walk,
+    object_crash_vehicle.py:309-325)."""
+
+    lane_type = LaneType.Driving
+
+    def __init__(self, x, y=0.0):
         self.x = float(x)
+        self.y = float(y)
         self.is_junction = JUNCTION_X[0] <= x < JUNCTION_X[1]
         self.is_intersection = self.is_junction
         self.road_id = 2 if self.is_junction else (1 if x < JUNCTION_X[0] else 3)
         self.section_id = 0
         self.lane_id = -1
         self.lane_width = LANE_WIDTH
-        self.transform = Transform(Location(x=self.x, y=0.0), Rotation(yaw=0.0))
+        self.transform = Transform(Location(x=self.x, y=self.y), Rotation(yaw=0.0))
 
     def next(self, d):
-        return [Waypoint(self.x + d)]
+        return [type(self)(self.x + d, self.y)]
 
     def previous(self, d):
-        return [Waypoint(self.x - d)]
+        return [type(self)(self.x - d, self.y)]
+
+    def get_right_lane(self):
+        return _SidewalkWaypoint(self.x, self.y + LANE_WIDTH)
+
+    def get_left_lane(self):
+        # the opposite driving lane (srunner ManeuverOppositeDirection
+        # places its oncoming vehicle there)
+        return Waypoint(self.x, self.y - LANE_WIDTH)
+
+
+class _SidewalkWaypoint(Waypoint):
+    lane_type = LaneType.Sidewalk
+
+    def get_right_lane(self):
+        return None
 
 
 class _Map:
@@ -638,4 +673,3 @@ for _preset in (
 ):
     setattr(WeatherParameters, _preset, WeatherParameters())
 TrafficLightState = SimpleNamespace(Red="Red", Yellow="Yellow", Green="Green")
-LaneType = SimpleNamespace(Driving="Driving", Parking="Parking")

@@ -280,6 +280,11 @@ def test_injected_walker_causes_pedestrian_collision(mock, tmp_path):
         "target_speed": 6.0,
         "scenario_actors": {},
         "scenario_actor_configs": {},
+        # srunner-matched defaults (14 m / 3.8 m/s) let the walker clear the
+        # lane before the slow-accelerating mock ego arrives; a lingering
+        # hazard exercises the collision/infraction plumbing this test is for
+        "walker_speed": 1.8,
+        "walker_trigger_dist": 18.0,
     }
     env = CarlaDrivingEnv(seed=0, tasks=[task])
     env.reset()
@@ -450,6 +455,8 @@ def test_injection_infractions_land_in_evaluator_checkpoint(mock, tmp_path):
         "target_speed": 6.0,
         "scenario_actors": {},
         "scenario_actor_configs": {},
+        "walker_speed": 1.8,  # lingering hazard (see collision test above)
+        "walker_trigger_dist": 18.0,
     }
     env = CarlaDrivingEnv(seed=0, tasks=[task], eval_mode=True)
 
