@@ -26,11 +26,16 @@ class FakeDrivingEnv:
         bev_hw=(512, 512),
         dt: float = 0.1,
         seed: int = 0,
+        image_fn=None,
     ):
+        """``image_fn(env) -> (H, W, 3) uint8`` replaces the default random
+        camera frame — lets tests/learnability render state-consistent
+        imagery the model can actually condition on."""
         self.rng = np.random.default_rng(seed)
         self.dt = dt
         self.image_hw = image_hw
         self.bev_hw = bev_hw
+        self.image_fn = image_fn
         if route is None:
             # straight route heading +x, waypoints every 2 m
             route = np.stack([np.arange(0.0, 200.0, 2.0), np.zeros(100)], axis=-1)
@@ -43,8 +48,13 @@ class FakeDrivingEnv:
         dists = np.linalg.norm(self.route - self.pos[None], axis=-1)
         ahead = np.where(dists > 4.0)[0]
         nxt = self.route[ahead[0]] if len(ahead) else self.route[-1]
+        camera = (
+            self.image_fn(self)
+            if self.image_fn is not None
+            else self.rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        )
         return {
-            "camera": [self.rng.integers(0, 255, (h, w, 3), dtype=np.uint8)],
+            "camera": [camera],
             "bev": [self.rng.integers(0, 255, (bh, bw, 3), dtype=np.uint8)],
             "compass": [[self.yaw]],
             "cur_waypoint": np.asarray([self.pos]),

@@ -20,8 +20,10 @@ Extras:
   published operating point, README.md:233-245: per-step jax.grad through the
   state head in-scan — reference control/guidance.py:35-59);
 - inpainting DDIM-50 plan latency (RePaint blend, scheduler/inpainting_*.py);
-- train-step sweep: samples/s/chip fwd+bwd+EMA at batch 8/64 (+256 with
-  TPU.REMAT), fp32 and bf16-compute (reference envelope: train.py:221-325);
+- train-step sweep: samples/s/chip fwd+bwd+EMA at batch 8/64/128/256 (+256
+  with TPU.REMAT), fp32 and bf16-compute (reference envelope:
+  train.py:221-325), plus useful-FLOP accounting -> ``train_mfu_pct_useful``
+  at the best bf16 operating point (cost_analysis of the non-remat graph);
 - machine-checked FLOP accounting (XLA cost_analysis) -> gflop_per_plan and
   mfu_pct at the bf16 batch-256 operating point.
 
@@ -481,19 +483,31 @@ def main():
         best = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
+            metrics = None
             for _ in range(iters):
-                state, _ = step(state, batch, rng_t)
-            jax.block_until_ready(state.step)
+                state, metrics = step(state, batch, rng_t)
+            # block on the LOSS, not state.step: on the tunneled relay the
+            # tiny step counter can report ready before the heavy chain
+            # drains (observed 20x-optimistic reading once in round 4)
+            jax.block_until_ready(metrics["loss"])
             best = min(best, (time.perf_counter() - t0) / iters * 1000.0)
         return best, state
 
+    # round-4 profile result (docs/DESIGN.md): the full-batch-256 train step
+    # FITS without remat on v5e (the round-3 headline assumed it needed
+    # rematerialization) and runs ~30% faster: the best operating point is
+    # bf16 b256 no-remat (~48% useful MFU; fwd/bwd balanced at step ~= 3.1x
+    # fwd-only). REMAT stays the lever for b384+.
     train_ms = {}
     train_sps = {}
+    train_gflop_per_sample = None
     for tag, compute_dtype, B, remat in (
         ("fp32_b8", "float32", 8, False),
         ("fp32_b64", "float32", 64, False),
         ("bf16_b8", "bfloat16", 8, False),
         ("bf16_b64", "bfloat16", 64, False),
+        ("bf16_b128", "bfloat16", 128, False),
+        ("bf16_b256", "bfloat16", 256, False),
         ("bf16_b256_remat", "bfloat16", 256, True),
     ):
         cfg_t = create_cfg()
@@ -509,6 +523,16 @@ def main():
         schedule_t = make_schedule_from_cfg(cfg_t)
         step_t = jax.jit(make_train_step(model_t, schedule_t, cfg_t), donate_argnums=(0,))
         batch = make_batch(B, jax.random.PRNGKey(2))
+        if tag == "bf16_b64" and train_gflop_per_sample is None:
+            # useful train FLOPs: XLA cost analysis of the NON-remat graph
+            # (batch-linear; fwd+bwd+optimizer as executed)
+            try:
+                train_gflop_per_sample = (
+                    _flops(step_t.lower(state_t, batch, jax.random.PRNGKey(1))) / B / 1e9
+                )
+                _log(f"train useful FLOPs: {train_gflop_per_sample:.2f} GFLOP/sample")
+            except Exception as exc:
+                _log(f"train cost_analysis unavailable: {type(exc).__name__}")
         _log(f"compiling train step {tag}...")
         try:
             ms, state_t = time_train(step_t, state_t, batch)
@@ -519,6 +543,19 @@ def main():
         train_sps[tag] = B / (ms / 1000.0)
         _log(f"train {tag}: {ms:.2f} ms/step, {train_sps[tag]:.1f} samples/s/chip")
         del state_t, step_t, batch, variables_t
+
+    train_mfu_pct = train_best = None
+    if train_gflop_per_sample and peak_tflops:
+        bf16_points = {k: v for k, v in train_sps.items() if k.startswith("bf16")}
+        if bf16_points:
+            train_best = max(bf16_points, key=bf16_points.get)
+            train_mfu_pct = (
+                100.0 * bf16_points[train_best] * train_gflop_per_sample / 1e3
+            ) / peak_tflops
+            _log(
+                f"train best point {train_best}: {bf16_points[train_best]:.0f} "
+                f"samples/s = {train_mfu_pct:.1f}% useful MFU"
+            )
 
     # headline: default deployment dtype; the in-loop figure when available
     # (single-dispatch device time), else the chained upper bound
@@ -549,6 +586,10 @@ def main():
             "train_samples_per_s_per_chip": {
                 k: round(v, 1) for k, v in train_sps.items()
             },
+            "train_gflop_per_sample_useful": train_gflop_per_sample
+            and round(train_gflop_per_sample, 2),
+            "train_best_point": train_best,
+            "train_mfu_pct_useful": train_mfu_pct and round(train_mfu_pct, 1),
             "p50_plan_latency_ms_inloop": {
                 k: round(v, 3) for k, v in inloop.items()
             },

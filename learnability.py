@@ -1,0 +1,315 @@
+"""Learnability end-to-end: the full pipeline actually learns to plan.
+
+Round-3 verdict item #4 — the reference's de-facto QA is train-to-overfit +
+visual waypoint check (reference train.py:53-103, README results); nothing
+here had shown that data -> on-device augmentation -> SPMD train step -> EMA
+-> checkpoint -> fused sampler can learn a real image->trajectory mapping.
+
+This script:
+
+1. generates a small synthetic expert dataset in the reference's on-disk
+   layout ({root}/front/*.png + waypoints/*.txt): each sample is a rendered
+   road view whose marking angle encodes the route curvature, paired with the
+   unicycle expert's 16-step transition trajectory (so the model must READ
+   the image to predict the turn direction);
+2. trains the flagship model (MODEL.DIM 64 + ResNet-34 on 900x256) with the
+   real train.py CLI — loader threads, jit augmentation, SPMD mesh, EMA,
+   orbax + torch checkpoints — past the EMA activation point;
+3. evaluates the EMA checkpoint through the standard eval path
+   (DiffusionPlanner: EMA-overwrite load + fused DDIM sampler) on HELD-OUT
+   samples: waypoint L2 in meters vs the expert, per-curvature-class
+   separation, and the untrained baseline;
+4. runs the same checkpoint closed-loop on the fake env (state-consistent
+   rendered frames) and compares route completion against untrained weights.
+
+Writes LEARNABILITY.json. Run on TPU (~12-20 min warm-cache):
+
+    python learnability.py                 # full flagship run
+    ADM_PLATFORM=cpu python learnability.py --quick   # tiny CPU smoke
+"""
+
+import argparse
+import json
+import math
+import os
+import os.path as osp
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+MAGIC = 23.315
+DT = 0.1
+SPEED = 5.0
+TARGET_SPEED = 10.0  # the collector's speed normalizer (data_collect.py:132)
+CLASSES = (-0.05, 0.0, 0.05)  # curvature rad/step: left, straight, right
+
+
+# ------------------------------------------------------------------ renderer
+
+
+def render_frame(curv: float, rng, hw=(256, 900)) -> np.ndarray:
+    """Synthetic road view: a vanishing-road trapezoid with a center marking
+    whose tilt encodes curvature. Cheap, deterministic given (curv, rng)."""
+    h, w = hw
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, :] = (60, 70, 90)  # sky-ish
+    horizon = h // 3
+    img[horizon:, :, :] = (50, 50, 48)  # road
+    # center marking: a bright line from bottom-center leaning with curvature
+    xs = np.arange(h - 1, horizon, -1)
+    frac = (h - 1 - xs) / max(h - 1 - horizon, 1)  # 0 at bottom -> 1 at horizon
+    # marking bends sideways proportionally to curvature (+-180 px at |0.05|)
+    cx = (w / 2) + np.clip(curv, -0.1, 0.1) / 0.05 * 180.0 * frac**1.5
+    half = np.maximum(2.0, 14.0 * (1.0 - frac))
+    for row, c, hf in zip(xs, cx, half):
+        lo = int(np.clip(c - hf, 0, w - 1))
+        hi = int(np.clip(c + hf, 0, w - 1))
+        img[row, lo : hi + 1] = (230, 220, 120)
+    noise = rng.integers(0, 18, img.shape, np.uint8)
+    return np.clip(img.astype(np.int16) + noise - 9, 0, 255).astype(np.uint8)
+
+
+def expert_trajectory(curv: float, rng) -> np.ndarray:
+    """16-step unicycle rollout in the dataset's normalized ego frame
+    (SURVEY Appendix A: x = lateral/23.315, y = -forward/23.315,
+    yaw = dyaw_deg/180 wrapped, speed/10, [throttle, steer, brake])."""
+    fwd = lat = 0.0
+    heading = 0.0
+    v = SPEED + rng.uniform(-0.3, 0.3)
+    rows = []
+    steer = float(np.clip(curv / 0.05 * 0.35, -1, 1))
+    for _ in range(16):
+        heading += curv
+        fwd += v * DT * math.cos(heading)
+        lat += v * DT * math.sin(heading)
+        rows.append(
+            [
+                lat / MAGIC,
+                -fwd / MAGIC,
+                math.degrees(heading) / 180.0,
+                v / TARGET_SPEED,
+                0.6,
+                steer,
+                0.0,
+            ]
+        )
+    return np.asarray(rows, np.float32)
+
+
+def write_dataset(root: str, n_per_class: int, seed: int, hw) -> list:
+    import cv2
+
+    os.makedirs(osp.join(root, "front"), exist_ok=True)
+    os.makedirs(osp.join(root, "bev"), exist_ok=True)
+    os.makedirs(osp.join(root, "waypoints"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    samples = []
+    idx = 0
+    for curv in CLASSES:
+        for _ in range(n_per_class):
+            c = curv + rng.uniform(-0.004, 0.004)
+            frame = render_frame(c, rng, hw)
+            traj = expert_trajectory(c, rng)
+            cv2.imwrite(
+                osp.join(root, "front", f"{idx:06d}.png"),
+                cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+            )
+            # bev copies keep train.evaluate paintable; reuse the front frame
+            cv2.imwrite(
+                osp.join(root, "bev", f"{idx:06d}.png"),
+                cv2.cvtColor(frame[:256, :256], cv2.COLOR_RGB2BGR),
+            )
+            target = traj[-1, :2]
+            with open(osp.join(root, "waypoints", f"{idx:06d}.txt"), "w") as f:
+                f.write(f"{target[0]} {target[1]}\n")
+                for row in traj:
+                    f.write(" ".join(str(float(v)) for v in row) + "\n")
+            samples.append({"curv": c, "traj": traj, "frame_idx": idx})
+            idx += 1
+    return samples
+
+
+# ------------------------------------------------------------------ main
+
+
+def heldout_l2_m(planner, heldout, hw):
+    """RMS waypoint error (meters) of fused-sampler plans vs expert, plus the
+    left/right separation check (does the plan read the image?)."""
+    errs, lat_by_class = [], {}
+    for s in heldout:
+        rng = np.random.default_rng(1000 + s["frame_idx"])
+        frame = render_frame(s["curv"], rng, hw)
+        plan = planner.plan(frame)[0]  # (16, 7), xy in meters
+        expert_xy = s["traj"][:, :2] * MAGIC
+        errs.append(np.sqrt(np.mean((plan[:, :2] - expert_xy) ** 2)))
+        cls = int(np.sign(round(s["curv"] / 0.05)))
+        lat_by_class.setdefault(cls, []).append(float(plan[-1, 0]))
+    sep_ok = bool(
+        np.mean(lat_by_class.get(-1, [0.0])) < np.mean(lat_by_class.get(0, [0.0]))
+        < np.mean(lat_by_class.get(1, [0.0]))
+    ) or bool(
+        np.mean(lat_by_class.get(-1, [0.0])) > np.mean(lat_by_class.get(0, [0.0]))
+        > np.mean(lat_by_class.get(1, [0.0]))
+    )
+    return float(np.mean(errs)), sep_ok, {str(k): float(np.mean(v)) for k, v in lat_by_class.items()}
+
+
+def closed_loop_completion(planner, hw, steps=120, seed=0):
+    """Straight-route fake env with state-consistent rendered frames; returns
+    fraction of the route completed in ``steps`` ticks."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+        FakeDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+        DiffusionPlanner,
+    )
+
+    rng = np.random.default_rng(seed)
+    env = FakeDrivingEnv(
+        image_hw=hw, seed=seed, image_fn=lambda e: render_frame(0.0, rng, hw)
+    )
+    obs = env.reset()
+    for _ in range(steps):
+        traj = planner.plan(np.asarray(obs["camera"][0], np.uint8))
+        control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
+        obs, _, done, _ = env.step({0: control})
+        if done:
+            break
+    total = np.linalg.norm(env.route[-1] - env.route[0])
+    progress = float(np.clip((env.pos[0] - env.route[0][0]) / total, 0.0, 1.0))
+    return progress
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny CPU smoke")
+    ap.add_argument("--workdir", default="/tmp/adm_learnability")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing checkpoint in workdir")
+    ap.add_argument("--out", default="LEARNABILITY.json")
+    args = ap.parse_args()
+
+    if os.environ.get("ADM_PLATFORM") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    quick = args.quick
+    hw = (64, 96) if quick else (256, 900)
+    n_train_per_class = 8 if quick else 40
+    n_heldout_per_class = 3 if quick else 8
+    # past the hardcoded EMA activation (update_after_step=5000) so the
+    # EMA-overwrite eval path is the real thing — except in quick mode
+    max_iter = 60 if quick else 6500
+    batch = 8 if quick else 64
+
+    t0 = time.time()
+    data_root = osp.join(args.workdir, "data")
+    run_dir = osp.join(args.workdir, "run")
+    if not args.skip_train:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    train_samples = write_dataset(data_root, n_train_per_class, seed=0, hw=hw)
+    rng_h = np.random.default_rng(7)
+    heldout = [
+        {"curv": c + rng_h.uniform(-0.004, 0.004), "traj": None, "frame_idx": 900 + i}
+        for i, c in enumerate(
+            [cl for cl in CLASSES for _ in range(n_heldout_per_class)]
+        )
+    ]
+    for s in heldout:
+        s["traj"] = expert_trajectory(s["curv"], np.random.default_rng(50 + s["frame_idx"]))
+
+    opts = [
+        "TRAIN.ROOT", data_root,
+        "PROJECT_DIR", run_dir,
+        "TRAIN.BATCH_SIZE", str(batch),
+        "TRAIN.MAX_ITER", str(max_iter),
+        "TRAIN.LOG_INTERVAL", "100" if not quick else "20",
+        "TRAIN.SAVE_INTERVAL", str(max_iter),
+        "TRAIN.SAMPLE_INTERVAL", "-1",
+        "TRAIN.NUM_WORKERS", "4",
+        "TRAIN.IMAGE_HEIGHT", str(hw[0]),
+        "TRAIN.IMAGE_WIDTH", str(hw[1]),
+        "TPU.COMPUTE_DTYPE", "bfloat16",
+    ]
+    if quick:
+        opts += ["MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny"]
+    if not args.skip_train:
+        cmd = [sys.executable, "train.py", "--opts", *opts]
+        print(f"[learnability] training: {' '.join(cmd)}", flush=True)
+        env = dict(os.environ)
+        subprocess.run(cmd, check=True, cwd=osp.dirname(osp.abspath(__file__)), env=env)
+    train_s = time.time() - t0
+
+    # ---- evaluation through the standard planner path
+    from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg
+
+    def make_cfg():
+        cfg = create_cfg()
+        cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH = hw
+        cfg.EVAL.SAMPLE_STEPS = 10
+        cfg.EVAL.SCHEDULER = "ddim"
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+        if quick:
+            cfg.MODEL.DIM = 8
+            cfg.MODEL.PERCEPTION = "tiny"
+        return cfg
+
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import DiffusionPlanner
+
+    ckpt = osp.join(run_dir, "checkpoints", "final.pth")
+    if not osp.exists(ckpt):  # tiny-perception runs save orbax only
+        ckpt = osp.join(run_dir, "checkpoints", f"orbax_{max_iter}")
+    print(f"[learnability] evaluating checkpoint {ckpt}", flush=True)
+    trained = DiffusionPlanner(make_cfg(), checkpoint=ckpt)
+    untrained = DiffusionPlanner(make_cfg(), checkpoint=None, seed=3)
+
+    l2_trained, sep_ok, lat_means = heldout_l2_m(trained, heldout, hw)
+    l2_untrained, _, _ = heldout_l2_m(untrained, heldout, hw)
+    print(
+        f"[learnability] held-out waypoint RMS: trained {l2_trained:.3f} m, "
+        f"untrained {l2_untrained:.3f} m, class separation {sep_ok} {lat_means}",
+        flush=True,
+    )
+
+    cl_trained = closed_loop_completion(trained, hw)
+    cl_untrained = closed_loop_completion(untrained, hw)
+    print(
+        f"[learnability] closed-loop completion: trained {cl_trained:.2f}, "
+        f"untrained {cl_untrained:.2f}",
+        flush=True,
+    )
+
+    result = {
+        "quick": quick,
+        "model_dim": 8 if quick else 64,
+        "perception": "tiny" if quick else "resnet34",
+        "image_hw": list(hw),
+        "train_iters": max_iter,
+        "train_seconds": round(train_s, 1),
+        "n_train": len(train_samples),
+        "n_heldout": len(heldout),
+        "heldout_waypoint_rms_m_trained": round(l2_trained, 4),
+        "heldout_waypoint_rms_m_untrained": round(l2_untrained, 4),
+        "class_separation_ok": sep_ok,
+        "final_lateral_mean_by_class_m": lat_means,
+        "closedloop_completion_trained": round(cl_trained, 3),
+        "closedloop_completion_untrained": round(cl_untrained, 3),
+        "pass": bool(
+            l2_trained < 1.5
+            and l2_trained < 0.5 * l2_untrained
+            and sep_ok
+            and cl_trained > cl_untrained + 0.1
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"[learnability] {json.dumps(result)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -296,7 +296,11 @@ def main(args):
             )
             logging.info("Save checkpoint to %s...", save_name)
 
-        if (cur_iter % cfg.TRAIN.SAMPLE_INTERVAL == 0 or cur_iter == max_iter) and is_main_process():
+        if (
+            cfg.TRAIN.SAMPLE_INTERVAL > 0
+            and (cur_iter % cfg.TRAIN.SAMPLE_INTERVAL == 0 or cur_iter == max_iter)
+            and is_main_process()
+        ):
             filename = osp.join(cfg.PROJECT_DIR, "generate", f"iter_{cur_iter:03d}.png")
             ema_vars = {"params": state.ema.shadow_params, "batch_stats": state.batch_stats}
             evaluate(cfg, model, ema_vars, schedule, filename=filename)
