@@ -135,14 +135,15 @@ def write_dataset(root: str, n_per_class: int, seed: int, hw) -> list:
 # ------------------------------------------------------------------ main
 
 
-def heldout_l2_m(planner, heldout, hw):
+def heldout_l2_m(planner, heldout, hw, use_target=False):
     """RMS waypoint error (meters) of fused-sampler plans vs expert, plus the
     left/right separation check (does the plan read the image?)."""
     errs, lat_by_class = [], {}
     for s in heldout:
         rng = np.random.default_rng(1000 + s["frame_idx"])
         frame = render_frame(s["curv"], rng, hw)
-        plan = planner.plan(frame)[0]  # (16, 7), xy in meters
+        target = s["traj"][-1, :2] if use_target else None
+        plan = planner.plan(frame, target)[0]  # (16, 7), xy in meters
         expert_xy = s["traj"][:, :2] * MAGIC
         errs.append(np.sqrt(np.mean((plan[:, :2] - expert_xy) ** 2)))
         cls = int(np.sign(round(s["curv"] / 0.05)))
@@ -157,9 +158,9 @@ def heldout_l2_m(planner, heldout, hw):
     return float(np.mean(errs)), sep_ok, {str(k): float(np.mean(v)) for k, v in lat_by_class.items()}
 
 
-def closed_loop_completion(planner, hw, steps=120, seed=0):
+def closed_loop_completion(planner, hw, steps=120, seed=0, use_target=False):
     """Straight-route fake env with state-consistent rendered frames; returns
-    fraction of the route completed in ``steps`` ticks."""
+    (completion fraction, mean |lateral deviation| m) over ``steps`` ticks."""
     from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
         FakeDrivingEnv,
     )
@@ -172,15 +173,20 @@ def closed_loop_completion(planner, hw, steps=120, seed=0):
         image_hw=hw, seed=seed, image_fn=lambda e: render_frame(0.0, rng, hw)
     )
     obs = env.reset()
+    # straight-ahead target in the dataset's normalized ego frame
+    # (forward = -y; expert_trajectory stores y = -fwd/MAGIC)
+    target = np.asarray([0.0, -SPEED * DT * 16 / MAGIC], np.float32) if use_target else None
+    lat_devs = []
     for _ in range(steps):
-        traj = planner.plan(np.asarray(obs["camera"][0], np.uint8))
+        traj = planner.plan(np.asarray(obs["camera"][0], np.uint8), target)
         control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
         obs, _, done, _ = env.step({0: control})
+        lat_devs.append(abs(float(env.pos[1])))
         if done:
             break
     total = np.linalg.norm(env.route[-1] - env.route[0])
     progress = float(np.clip((env.pos[0] - env.route[0][0]) / total, 0.0, 1.0))
-    return progress
+    return progress, float(np.mean(lat_devs)) if lat_devs else 0.0
 
 
 def main():
@@ -190,6 +196,12 @@ def main():
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse an existing checkpoint in workdir")
     ap.add_argument("--out", default="LEARNABILITY.json")
+    ap.add_argument(
+        "--use-cond", default="NO_GUIDANCE",
+        choices=["NO_GUIDANCE", "FREE_GUIDANCE"],
+        help="FREE_GUIDANCE trains/evaluates the CFG path and also runs the "
+        "K=8 hypothesis-scorer closed-loop comparison (guidance_loss vs jerk)",
+    )
     args = ap.parse_args()
 
     if os.environ.get("ADM_PLATFORM") == "cpu":
@@ -234,6 +246,7 @@ def main():
         "TRAIN.IMAGE_HEIGHT", str(hw[0]),
         "TRAIN.IMAGE_WIDTH", str(hw[1]),
         "TPU.COMPUTE_DTYPE", "bfloat16",
+        "TRAIN.USE_COND", args.use_cond,
     ]
     if quick:
         opts += ["MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny"]
@@ -247,12 +260,20 @@ def main():
     # ---- evaluation through the standard planner path
     from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg
 
-    def make_cfg():
+    use_cond = args.use_cond == "FREE_GUIDANCE"
+
+    def make_cfg(**tpu):
         cfg = create_cfg()
         cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH = hw
         cfg.EVAL.SAMPLE_STEPS = 10
         cfg.EVAL.SCHEDULER = "ddim"
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg.TRAIN.USE_COND = args.use_cond
+        if use_cond:
+            cfg.GUIDANCE.USE_COND = "FREE_GUIDANCE"
+            cfg.GUIDANCE.FREE_SCALE = 7.5
+        for k, v in tpu.items():
+            setattr(cfg.TPU, k, v)
         if quick:
             cfg.MODEL.DIM = 8
             cfg.MODEL.PERCEPTION = "tiny"
@@ -267,24 +288,42 @@ def main():
     trained = DiffusionPlanner(make_cfg(), checkpoint=ckpt)
     untrained = DiffusionPlanner(make_cfg(), checkpoint=None, seed=3)
 
-    l2_trained, sep_ok, lat_means = heldout_l2_m(trained, heldout, hw)
-    l2_untrained, _, _ = heldout_l2_m(untrained, heldout, hw)
+    l2_trained, sep_ok, lat_means = heldout_l2_m(trained, heldout, hw, use_cond)
+    l2_untrained, _, _ = heldout_l2_m(untrained, heldout, hw, use_cond)
     print(
         f"[learnability] held-out waypoint RMS: trained {l2_trained:.3f} m, "
         f"untrained {l2_untrained:.3f} m, class separation {sep_ok} {lat_means}",
         flush=True,
     )
 
-    cl_trained = closed_loop_completion(trained, hw)
-    cl_untrained = closed_loop_completion(untrained, hw)
+    cl_trained, dev_trained = closed_loop_completion(trained, hw, use_target=use_cond)
+    cl_untrained, dev_untrained = closed_loop_completion(
+        untrained, hw, use_target=use_cond
+    )
     print(
-        f"[learnability] closed-loop completion: trained {cl_trained:.2f}, "
-        f"untrained {cl_untrained:.2f}",
+        f"[learnability] closed-loop completion: trained {cl_trained:.2f} "
+        f"(|lat| {dev_trained:.2f} m), untrained {cl_untrained:.2f} "
+        f"(|lat| {dev_untrained:.2f} m)",
         flush=True,
     )
 
+    # K=8 hypothesis-scorer comparison (ROADMAP "hypothesis selection"):
+    # the TargetGuidance objective as selector vs comfort (jerk) vs the
+    # distance default, closed-loop on the same env with the same checkpoint
+    scorer_cl = {}
+    if use_cond and not quick:
+        for scorer in ("guidance_loss", "jerk", "auto"):
+            planner_k = DiffusionPlanner(
+                make_cfg(NUM_HYPOTHESES=8, HYPOTHESIS_SCORER=scorer),
+                checkpoint=ckpt,
+            )
+            comp, dev = closed_loop_completion(planner_k, hw, use_target=True)
+            scorer_cl[scorer] = {"completion": round(comp, 3), "mean_abs_lat_m": round(dev, 3)}
+            print(f"[learnability] K=8 scorer={scorer}: {scorer_cl[scorer]}", flush=True)
+
     result = {
         "quick": quick,
+        "use_cond": args.use_cond,
         "model_dim": 8 if quick else 64,
         "perception": "tiny" if quick else "resnet34",
         "image_hw": list(hw),
@@ -298,6 +337,9 @@ def main():
         "final_lateral_mean_by_class_m": lat_means,
         "closedloop_completion_trained": round(cl_trained, 3),
         "closedloop_completion_untrained": round(cl_untrained, 3),
+        "closedloop_mean_abs_lat_m_trained": round(dev_trained, 3),
+        "closedloop_mean_abs_lat_m_untrained": round(dev_untrained, 3),
+        "k8_scorer_closedloop": scorer_cl,
         "pass": bool(
             l2_trained < 1.5
             and l2_trained < 0.5 * l2_untrained
