@@ -173,6 +173,59 @@ class Loader:
                 yield batch
 
 
+class DeviceResidentLoader:
+    """Device-resident dataset: decode once, upload once, gather batches on
+    device. For datasets that fit HBM comfortably this removes the per-step
+    host->device bulk transfer entirely — on a co-located TPU host that's
+    PCIe bandwidth back; on the tunneled dev setup it also sidesteps an
+    axon-client leak where every bulk host transfer retains its ~44 MB
+    staging buffer (measured round 4; per-iteration transfers OOM-killed an
+    overfit run at 124 GB RSS).
+
+    Epoch/shuffle/shard semantics are delegated to the wrapped ``Loader``
+    (same ``_epoch_indices`` stream, same seed ordering); only the transport
+    differs. Yields jnp arrays (image u8 on device, trajs/target fp32)."""
+
+    def __init__(self, loader: "Loader"):
+        import jax
+        import jax.numpy as jnp
+
+        self.loader = loader
+        ds = loader.dataset
+        items = [ds[i] for i in range(len(ds))]
+        self.images = jnp.asarray(np.stack([it["image"] for it in items]))
+        self.trajs = jnp.asarray(np.stack([it["trajs"] for it in items]))
+        self.targets = jnp.asarray(np.stack([it["target"] for it in items]))
+        self._take = jax.jit(
+            lambda imgs, trajs, tgts, idx: (
+                jnp.take(imgs, idx, axis=0),
+                jnp.take(trajs, idx, axis=0),
+                jnp.take(tgts, idx, axis=0),
+            )
+        )
+
+    @property
+    def dataset(self):
+        return self.loader.dataset
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def nbytes(self) -> int:
+        return int(self.images.nbytes + self.trajs.nbytes + self.targets.nbytes)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        indices = self.loader._epoch_indices()
+        self.loader._epoch += 1
+        bs = self.loader.batch_size
+        for i in range(len(self)):
+            idx = jnp.asarray(indices[i * bs : (i + 1) * bs].astype(np.int32))
+            img, trajs, tgt = self._take(self.images, self.trajs, self.targets, idx)
+            yield {"image": img, "trajs": trajs, "target": tgt}
+
+
 def get_loader(
     cfg,
     train: bool = True,

@@ -266,6 +266,13 @@ def create_cfg() -> CfgNode:
     # drops activations from HBM for large batch at 900x256 (~1/3 extra fwd
     # FLOPs; gradients unchanged).
     cfg.TPU.REMAT = False
+    # Device-resident dataset for training: "auto" uploads the whole decoded
+    # dataset to HBM once when it fits the byte budget below and gathers
+    # batches on device (no per-step host->device bulk transfer); "on"/"off"
+    # force it. Single-process only; epoch/shuffle order identical to the
+    # host loader.
+    cfg.TPU.DEVICE_DATA = "auto"
+    cfg.TPU.DEVICE_DATA_MAX_BYTES = 512 * 1024 * 1024
     return cfg
 
 

@@ -126,3 +126,29 @@ def test_loader_per_host_sharding(fake_root):
         seed=7, shard_index=0, shard_count=2,
     )
     np.testing.assert_array_equal(epoch_targets(fresh), a0)
+
+
+def test_device_resident_loader_matches_host_loader(fake_root):
+    """DeviceResidentLoader yields the same batches in the same order as the
+    host loader it wraps (same _epoch_indices stream), with on-device
+    gathers (round 4: removes per-step bulk transfers; also the workaround
+    for the axon tunnel's per-transfer staging-buffer leak)."""
+    from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
+        DeviceResidentLoader,
+        Loader,
+        TrajDataset,
+    )
+
+    host = Loader(TrajDataset(fake_root), batch_size=4, seed=3, num_workers=2)
+    dev = DeviceResidentLoader(
+        Loader(TrajDataset(fake_root), batch_size=4, seed=3, num_workers=2)
+    )
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        assert isinstance(db["image"], jnp.ndarray)
+        np.testing.assert_array_equal(hb["image"], np.asarray(db["image"]))
+        np.testing.assert_allclose(hb["trajs"], np.asarray(db["trajs"]))
+        np.testing.assert_allclose(hb["target"], np.asarray(db["target"]))
+    # second epoch advances the shared shuffle stream identically
+    for hb, db in zip(host, dev):
+        np.testing.assert_array_equal(hb["image"], np.asarray(db["image"]))

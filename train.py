@@ -196,6 +196,23 @@ def main(args):
         cfg, train=True,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
     )
+    device_data = str(cfg.TPU.DEVICE_DATA).lower()
+    if device_data != "off" and jax.process_count() == 1:
+        ds_bytes = (
+            len(loader.dataset) * cfg.TRAIN.IMAGE_HEIGHT * cfg.TRAIN.IMAGE_WIDTH * 3
+        )
+        if device_data in ("on", "true") or (
+            device_data == "auto" and ds_bytes <= int(cfg.TPU.DEVICE_DATA_MAX_BYTES)
+        ):
+            from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
+                DeviceResidentLoader,
+            )
+
+            loader = DeviceResidentLoader(loader)
+            logging.info(
+                "Device-resident dataset: %d samples, %.1f MB uploaded once",
+                len(loader.dataset), loader.nbytes() / 1e6,
+            )
     use_augment = cfg.TRAIN.USE_IMG_AUGMENTOR
     augment = jax.jit(augment_batch) if use_augment else None
 
