@@ -77,6 +77,14 @@ def build_routes(env_id: str, tasks) -> list:
 def main(argv=None) -> dict:
     args = parse_args(argv)
 
+    import os
+
+    if os.environ.get("ADM_PLATFORM"):
+        # host-only smoke runs (same override train.py/interact.py honor)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["ADM_PLATFORM"])
+
     from ..sim.suites import build_suite_tasks
     from ..utils.config import create_cfg, merge_possible_with_base
     from .evaluator import RouteEvaluator

@@ -60,7 +60,14 @@ class RouteEvaluator:
     def _load(self) -> Dict:
         if os.path.exists(self.checkpoint_path):
             with open(self.checkpoint_path) as f:
-                return json.load(f)
+                data = json.load(f)
+            if not isinstance(data.get("_checkpoint"), dict) or "records" not in data["_checkpoint"]:
+                raise ValueError(
+                    f"{self.checkpoint_path} exists but is not an evaluator "
+                    "checkpoint (expected a '_checkpoint.records' structure); "
+                    "point --checkpoint-json at a fresh path or a previous run's file"
+                )
+            return data
         return {"_checkpoint": {"records": [], "progress": []}}
 
     def _save(self, data: Dict) -> None:

@@ -44,6 +44,15 @@ def parse_args():
 def main():
     args = parse_args()
 
+    import os
+
+    if os.environ.get("ADM_PLATFORM"):
+        # honor host-only smoke runs like train.py does (the image's
+        # sitecustomize forces jax_platforms="axon,cpu" programmatically)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["ADM_PLATFORM"])
+
     from autonomous_driving_with_diffusion_model_tpu.driving import (
         DiffusionPlanner,
         InteractAgent,
