@@ -18,10 +18,31 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from ..utils.config import create_cfg, merge_possible_with_base
-from ..utils.constants import GuidanceType
-from .plan import DiffusionPlanner, way_point_to_pixel
-from .planner import RoutePlanner
+try:
+    from ..utils.config import create_cfg, merge_possible_with_base
+    from ..utils.constants import GuidanceType
+    from .plan import DiffusionPlanner, way_point_to_pixel
+    from .planner import RoutePlanner
+except ImportError:
+    # the official evaluator imports this FILE by path (run_evaluation.sh
+    # AGENT=<path>/leaderboard_agent.py -> importlib.import_module of the
+    # bare module name, leaderboard_evaluator.py:106-109), so there is no
+    # parent package; fall back to absolute imports (repo root on sys.path)
+    import sys as _sys
+
+    _repo = str(pathlib.Path(__file__).resolve().parents[2])
+    if _repo not in _sys.path:
+        _sys.path.insert(0, _repo)
+    from autonomous_driving_with_diffusion_model_tpu.utils.config import (
+        create_cfg,
+        merge_possible_with_base,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.utils.constants import GuidanceType
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+        DiffusionPlanner,
+        way_point_to_pixel,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.driving.planner import RoutePlanner
 
 __all__ = ["DiffusionAgent", "get_entry_point"]
 

@@ -644,6 +644,26 @@ class StopSign:
         pass
 
 
+class _TrafficManager:
+    def __init__(self, port=8000):
+        self._port = port
+
+    def get_port(self):
+        return self._port
+
+    def set_synchronous_mode(self, on):
+        self.synchronous = on
+
+    def set_global_distance_to_leading_vehicle(self, d):
+        pass
+
+    def set_hybrid_physics_mode(self, on=True):
+        pass
+
+    def set_random_device_seed(self, seed):
+        pass
+
+
 class Client:
     def __init__(self, host, port):
         self._world = _World()
@@ -656,6 +676,15 @@ class Client:
 
     def load_world(self, town):
         return self._world
+
+    def get_trafficmanager(self, port=8000):
+        return _TrafficManager(port)
+
+    def apply_batch(self, batch):
+        pass
+
+    def apply_batch_sync(self, batch):
+        return []
 
 
 class WeatherParameters(SimpleNamespace):
