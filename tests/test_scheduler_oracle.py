@@ -400,3 +400,62 @@ def test_parity_tolerance_catches_perturbation(rng):
     perturbed = np.asarray(ours) + 1e-3
     with pytest.raises(AssertionError):
         np.testing.assert_allclose(perturbed, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_add_noise_matches_oracle(rng):
+    """Training forward-noising (train.py:234) vs the diffusers base
+    add_noise the reference trains with."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion.schedule import (
+        add_noise,
+    )
+
+    oracle = REF_SCHED.GuidanceDDPMScheduler(
+        _no_guidance_cfg(), num_train_timesteps=T_TRAIN,
+        beta_schedule="squaredcos_cap_v2",
+    )
+    schedule = make_schedule("squaredcos_cap_v2", T_TRAIN)
+    x0 = rng.standard_normal((4, 16, 7)).astype(np.float32)
+    noise = rng.standard_normal((4, 16, 7)).astype(np.float32)
+    t = np.array([0, 13, 57, 99])
+    ref = oracle.add_noise(
+        torch.from_numpy(x0), torch.from_numpy(noise), torch.from_numpy(t)
+    ).numpy()
+    ours = add_noise(schedule, jnp.asarray(x0), jnp.asarray(noise), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-6, rtol=1e-5)
+
+
+def test_classifier_guidance_multi_step_is_a_latent_reference_bug(rng):
+    """GUIDANCE.STEP > 1 CRASHES in the reference: iteration 1 detaches
+    x_guidance (control/guidance.py:51), so iteration 2's
+    ``autograd.grad([loss], [x_guidance, action])`` finds the action tensor
+    unused in the graph and raises. Every shipped config uses STEP=1 — this
+    is a dead/broken path (registered alongside SURVEY Appendix C). Our
+    make_guidance_fn implements the INTENDED semantics (re-differentiating
+    through the state head each iteration) and stays well-defined."""
+    from control.guidance import GuidanceLoss as RefGuidanceLoss
+
+    cfg = _classifier_cfg()
+    cfg.GUIDANCE.STEP = 2
+    ref_guidance = RefGuidanceLoss(cfg)
+    w1, w2 = _linear_state_weights(rng)
+    target = rng.standard_normal((1, 2)).astype(np.float32)
+    action_np = rng.standard_normal((1, 16, 3)).astype(np.float32)
+
+    action_t = torch.from_numpy(action_np.copy()).requires_grad_()
+    state_t = torch.tanh(action_t @ torch.from_numpy(w1)) @ torch.from_numpy(w2)
+    mo_t = torch.cat([state_t, action_t], dim=-1)
+    with pytest.raises(RuntimeError, match="appears to not have been used"):
+        ref_guidance(mo_t, action_t, torch.from_numpy(target), 0.7)
+
+    def state_fn_jax(action):
+        return jnp.tanh(action @ jnp.asarray(w1)) @ jnp.asarray(w2)
+
+    guide = make_guidance_fn(
+        cfg.GUIDANCE.LOSS_LIST, cfg.GUIDANCE.CLASSIFIER_SCALE,
+        cfg.GUIDANCE.STEP, state_pred_fn=state_fn_jax,
+    )
+    action_j = jnp.asarray(action_np)
+    x_j = jnp.concatenate([state_fn_jax(action_j), action_j], axis=-1)
+    ours = guide(x_j, action_j, jnp.asarray(target), 0.7)
+    assert np.all(np.isfinite(np.asarray(ours)))
+    assert np.abs(np.asarray(ours)).max() <= 1.0 + 1e-6
