@@ -196,6 +196,11 @@ class DeviceResidentLoader:
         self.images = jnp.asarray(np.stack([it["image"] for it in items]))
         self.trajs = jnp.asarray(np.stack([it["trajs"] for it in items]))
         self.targets = jnp.asarray(np.stack([it["target"] for it in items]))
+        del items
+        if getattr(ds, "_cache", None):
+            # the frames now live in HBM; don't also pin the decoded host
+            # copies for the whole run (125 GB no-swap box, CLAUDE.md)
+            ds._cache.clear()
         self._take = jax.jit(
             lambda imgs, trajs, tgts, idx: (
                 jnp.take(imgs, idx, axis=0),

@@ -77,13 +77,9 @@ def build_routes(env_id: str, tasks) -> list:
 def main(argv=None) -> dict:
     args = parse_args(argv)
 
-    import os
+    from ..utils.platform import apply_adm_platform
 
-    if os.environ.get("ADM_PLATFORM"):
-        # host-only smoke runs (same override train.py/interact.py honor)
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["ADM_PLATFORM"])
+    apply_adm_platform()
 
     from ..sim.suites import build_suite_tasks
     from ..utils.config import create_cfg, merge_possible_with_base

@@ -104,6 +104,12 @@ def shard_global_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") ->
     positions = [
         i for i, d in enumerate(flat) if d.process_index == jax.process_index()
     ]
+    if not positions:
+        raise ValueError(
+            f"process {jax.process_index()} owns no devices in this mesh; "
+            "shard_global_batch requires every participating process to "
+            "contribute a batch shard"
+        )
     # the device-side path assumes this process's devices sit contiguously in
     # mesh order (true for make_data_parallel_mesh / make_multislice_mesh); a
     # custom interleaved mesh would silently permute which global rows each

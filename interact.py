@@ -44,14 +44,11 @@ def parse_args():
 def main():
     args = parse_args()
 
-    import os
+    from autonomous_driving_with_diffusion_model_tpu.utils.platform import (
+        apply_adm_platform,
+    )
 
-    if os.environ.get("ADM_PLATFORM"):
-        # honor host-only smoke runs like train.py does (the image's
-        # sitecustomize forces jax_platforms="axon,cpu" programmatically)
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["ADM_PLATFORM"])
+    apply_adm_platform()
 
     from autonomous_driving_with_diffusion_model_tpu.driving import (
         DiffusionPlanner,

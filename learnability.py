@@ -204,10 +204,11 @@ def main():
     )
     args = ap.parse_args()
 
-    if os.environ.get("ADM_PLATFORM") == "cpu":
-        import jax
+    from autonomous_driving_with_diffusion_model_tpu.utils.platform import (
+        apply_adm_platform,
+    )
 
-        jax.config.update("jax_platforms", "cpu")
+    apply_adm_platform()
 
     quick = args.quick
     hw = (64, 96) if quick else (256, 900)

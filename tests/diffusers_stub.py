@@ -9,8 +9,9 @@ subclasses:
 - ``DDIMScheduler`` / ``DDPMScheduler`` construction (betas for
   linear / scaled_linear / squaredcos_cap_v2, ``alphas_cumprod``,
   ``final_alpha_cumprod`` / ``one``), ``config`` attribute access
-- ``set_timesteps`` ("leading" default spacing; "linspace"/"trailing" kept
-  for completeness)
+- ``set_timesteps`` ("leading" — the diffusers default and the only
+  spacing the reference uses; other spacings raise NotImplementedError so
+  the stub can never silently diverge from 0.28.0 semantics)
 - ``_get_variance`` (DDIM 2-arg form; DDPM 1-arg form with variance_type
   branches), ``previous_timestep`` (DDPM)
 - ``_threshold_sample`` on the base class (the Inpainting* subclasses call it
@@ -190,30 +191,19 @@ def _build_stub_modules():
                 raise ValueError("num_inference_steps > num_train_timesteps")
             self.num_inference_steps = num_inference_steps
             spacing = self.config.timestep_spacing
-            if spacing == "linspace":
-                timesteps = (
-                    np.linspace(0, self.config.num_train_timesteps - 1, num_inference_steps)
-                    .round()[::-1]
-                    .copy()
-                    .astype(np.int64)
-                )
-            elif spacing == "leading":
-                step_ratio = self.config.num_train_timesteps // self.num_inference_steps
-                timesteps = (
-                    (np.arange(0, num_inference_steps) * step_ratio)
-                    .round()[::-1]
-                    .copy()
-                    .astype(np.int64)
-                )
-                timesteps += self.config.steps_offset
-            elif spacing == "trailing":
-                step_ratio = self.config.num_train_timesteps / self.num_inference_steps
-                timesteps = np.round(
-                    np.arange(self.config.num_train_timesteps, 0, -step_ratio)
-                ).astype(np.int64)
-                timesteps -= 1
-            else:
-                raise ValueError(f"timestep_spacing {spacing}")
+            if spacing != "leading":
+                # only the diffusers default the reference uses is
+                # implemented faithfully; other spacings would silently
+                # diverge from 0.28.0 semantics in previous_timestep
+                raise NotImplementedError(f"timestep_spacing {spacing} not in the stub")
+            step_ratio = self.config.num_train_timesteps // self.num_inference_steps
+            timesteps = (
+                (np.arange(0, num_inference_steps) * step_ratio)
+                .round()[::-1]
+                .copy()
+                .astype(np.int64)
+            )
+            timesteps += self.config.steps_offset
             self.timesteps = torch.from_numpy(timesteps)
 
         def _get_variance(self, timestep, prev_timestep):
@@ -288,30 +278,16 @@ def _build_stub_modules():
             self.num_inference_steps = num_inference_steps
             self.custom_timesteps = False
             spacing = self.config.timestep_spacing
-            if spacing == "linspace":
-                ts = (
-                    np.linspace(0, self.config.num_train_timesteps - 1, num_inference_steps)
-                    .round()[::-1]
-                    .copy()
-                    .astype(np.int64)
-                )
-            elif spacing == "leading":
-                step_ratio = self.config.num_train_timesteps // self.num_inference_steps
-                ts = (
-                    (np.arange(0, num_inference_steps) * step_ratio)
-                    .round()[::-1]
-                    .copy()
-                    .astype(np.int64)
-                )
-                ts += self.config.steps_offset
-            elif spacing == "trailing":
-                step_ratio = self.config.num_train_timesteps / self.num_inference_steps
-                ts = np.round(
-                    np.arange(self.config.num_train_timesteps, 0, -step_ratio)
-                ).astype(np.int64)
-                ts -= 1
-            else:
-                raise ValueError(f"timestep_spacing {spacing}")
+            if spacing != "leading":
+                raise NotImplementedError(f"timestep_spacing {spacing} not in the stub")
+            step_ratio = self.config.num_train_timesteps // self.num_inference_steps
+            ts = (
+                (np.arange(0, num_inference_steps) * step_ratio)
+                .round()[::-1]
+                .copy()
+                .astype(np.int64)
+            )
+            ts += self.config.steps_offset
             self.timesteps = torch.from_numpy(ts)
 
         def previous_timestep(self, timestep):

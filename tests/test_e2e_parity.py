@@ -153,7 +153,7 @@ def test_cfg_sampling_loop_parity(rng):
 
     schedule = make_schedule("squaredcos_cap_v2", 100)
     step_cfg = StepConfig(prediction_type="sample", clip_sample=True, thresholding=True)
-    ts, prev_ts = leading_timesteps(100, 5)
+    ts, _ = leading_timesteps(100, 5)
 
     init = rng.standard_normal((1, 16, 7)).astype(np.float32)
     img = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)

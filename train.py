@@ -85,12 +85,12 @@ def evaluate(cfg, model, variables, schedule, filename=None, rng_seed=None):
 
 
 def main(args):
-    import jax
+    from autonomous_driving_with_diffusion_model_tpu.utils.platform import (
+        apply_adm_platform,
+    )
 
-    # The image's sitecustomize forces jax_platforms="axon,cpu"; honor an
-    # explicit override (e.g. ADM_PLATFORM=cpu for host-only smoke runs).
-    if os.environ.get("ADM_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["ADM_PLATFORM"])
+    apply_adm_platform()
+    import jax
     import jax.numpy as jnp
 
     from autonomous_driving_with_diffusion_model_tpu.data import (
@@ -198,9 +198,9 @@ def main(args):
     )
     device_data = str(cfg.TPU.DEVICE_DATA).lower()
     if device_data != "off" and jax.process_count() == 1:
-        ds_bytes = (
-            len(loader.dataset) * cfg.TRAIN.IMAGE_HEIGHT * cfg.TRAIN.IMAGE_WIDTH * 3
-        )
+        # gate on the ACTUAL decoded frame size (the dataset yields PNGs at
+        # on-disk resolution; cfg.TRAIN.IMAGE_* is not enforced to match)
+        ds_bytes = len(loader.dataset) * loader.dataset[0]["image"].nbytes
         if device_data in ("on", "true") or (
             device_data == "auto" and ds_bytes <= int(cfg.TPU.DEVICE_DATA_MAX_BYTES)
         ):
