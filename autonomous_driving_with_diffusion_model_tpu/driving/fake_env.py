@@ -64,6 +64,33 @@ class FakeDrivingEnv:
             "at_red_light": [0],
         }
 
+    def snapshot(self) -> Dict:
+        """Full dynamics + RNG state, for counterfactual rollouts: execute a
+        candidate plan open-loop from here, then ``restore`` and try another
+        (the learned-scorer outcome labeling in learnability.py). The CARLA
+        env has no such facility — this is the test double's superpower."""
+        return {
+            "pos": self.pos.copy(),
+            "yaw": self.yaw,
+            "speed": self.speed,
+            "throttle": self.throttle,
+            "steer": self.steer,
+            "brake": self.brake,
+            "steps": self.steps,
+            "rng": self.rng.bit_generator.state,
+        }
+
+    def restore(self, snap: Dict) -> None:
+        """Rewind to a ``snapshot`` (inverse of it, including RNG state)."""
+        self.pos = snap["pos"].copy()
+        self.yaw = snap["yaw"]
+        self.speed = snap["speed"]
+        self.throttle = snap["throttle"]
+        self.steer = snap["steer"]
+        self.brake = snap["brake"]
+        self.steps = snap["steps"]
+        self.rng.bit_generator.state = snap["rng"]
+
     def reset(self) -> Dict:
         self.pos = self.route[0].astype(np.float64).copy()
         self.yaw = 0.0

@@ -139,10 +139,25 @@ class DiffusionPlanner:
         needs_target = self.use_guidance_type != GuidanceType.NO_GUIDANCE
         hoisted = bool(cfg.TPU.HOIST_PERCEPTION)
         scorer = str(getattr(cfg.TPU, "HYPOTHESIS_SCORER", "auto")).lower()
-        if scorer not in ("auto", "guidance_loss", "jerk"):
+        if scorer not in ("auto", "guidance_loss", "jerk", "learned"):
             raise ValueError(
-                f"TPU.HYPOTHESIS_SCORER={scorer!r}; use auto | guidance_loss | jerk"
+                f"TPU.HYPOTHESIS_SCORER={scorer!r}; "
+                "use auto | guidance_loss | jerk | learned"
             )
+        scorer_params = scorer_hidden = None
+        if scorer == "learned":
+            # outcome-trained net (models/scorer.py); produced by
+            # `learnability.py --learned-scorer`
+            from ..models.scorer import load_scorer
+
+            path = str(getattr(cfg.TPU, "SCORER_CHECKPOINT", ""))
+            if not path:
+                raise ValueError(
+                    "TPU.HYPOTHESIS_SCORER=learned needs TPU.SCORER_CHECKPOINT "
+                    "(a .npz written by models.scorer.save_scorer)"
+                )
+            scorer_params, scorer_hidden = load_scorer(path)
+            scorer_params = jax.tree.map(jnp.asarray, scorer_params)
         from ..models.temporal_unet import TemporalMapUnet
 
         def _plan(variables, init_trajs, rgb_u8, target, rng):
@@ -165,7 +180,13 @@ class DiffusionPlanner:
                 rng=rng,
                 **kwargs,
             )
-            if scorer == "guidance_loss" and needs_target:
+            if scorer == "learned":
+                # net trained on counterfactual closed-loop outcomes
+                # (models/scorer.py); params are jit-closure constants
+                from ..models.scorer import score_trajs
+
+                score = score_trajs(scorer_params, trajs, target[0], scorer_hidden)
+            elif scorer == "guidance_loss" and needs_target:
                 # score with the TargetGuidance objective itself (softmin-
                 # weighted whole-trajectory distance, diffusion/guidance.py) —
                 # the same loss classifier guidance descends, applied as a

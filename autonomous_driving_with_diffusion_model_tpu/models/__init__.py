@@ -7,6 +7,14 @@ from .blocks import (
     Upsample1d,
 )
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101, resnet152
+from .scorer import (
+    HypothesisScorer,
+    init_scorer,
+    load_scorer,
+    save_scorer,
+    score_trajs,
+    train_scorer,
+)
 from .temporal_unet import TemporalMapUnet, build_model
 from .torch_convert import (
     apply_ema_shadow_params,
@@ -29,6 +37,12 @@ __all__ = [
     "resnet50",
     "resnet101",
     "resnet152",
+    "HypothesisScorer",
+    "init_scorer",
+    "score_trajs",
+    "train_scorer",
+    "save_scorer",
+    "load_scorer",
     "TemporalMapUnet",
     "build_model",
     "build_mapping",

@@ -261,7 +261,11 @@ def create_cfg() -> CfgNode:
     # modes, min-jerk for unguided; "guidance_loss" scores with the
     # TargetGuidance loss itself (softmin-weighted whole-trajectory distance,
     # the same objective classifier guidance descends); "jerk" forces comfort.
+    # "learned" ranks with an outcome-trained net (models/scorer.py; needs
+    # TPU.SCORER_CHECKPOINT, an .npz from learnability.py --learned-scorer).
     cfg.TPU.HYPOTHESIS_SCORER = "auto"
+    # Path to a saved learned-scorer .npz (models.scorer.save_scorer).
+    cfg.TPU.SCORER_CHECKPOINT = ""
     # Rematerialize the train-step forward on backward (jax.checkpoint):
     # drops activations from HBM for large batch at 900x256 (~1/3 extra fwd
     # FLOPs; gradients unchanged).

@@ -132,6 +132,111 @@ def write_dataset(root: str, n_per_class: int, seed: int, hw) -> list:
     return samples
 
 
+# ------------------------------------------------- learned hypothesis scorer
+
+
+def candidate_outcome(env, cand: np.ndarray) -> float:
+    """Execute one candidate plan OPEN-LOOP from the env's current state and
+    return the realized outcome (lower = better): mean |lateral route
+    deviation| over the horizon plus a shortfall penalty if the rollout
+    covers less forward distance than the nominal cruise. State (incl. RNG)
+    is restored afterwards, so all K candidates are labeled counterfactually
+    from the same snapshot."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+        DiffusionPlanner,
+    )
+
+    snap = env.snapshot()
+    x0 = float(env.pos[0])
+    lats = []
+    for row in cand:
+        control = DiffusionPlanner.post_process_control_interact(*row[-3:])
+        env.step({0: control})
+        lats.append(abs(float(env.pos[1])))
+    fwd = float(env.pos[0]) - x0
+    env.restore(snap)
+    nominal = SPEED * DT * len(cand)
+    return float(np.mean(lats) + 2.0 * max(0.0, 1.0 - fwd / nominal))
+
+
+def collect_outcome_dataset(planner, hw, episodes=6, steps_per_ep=80, seed=0):
+    """Closed-loop exploration with counterfactual labeling: at each state,
+    plan K fresh-noise hypotheses, label EVERY candidate by open-loop rollout
+    (candidate_outcome), then execute a RANDOM candidate so the visited
+    states cover recovery situations, not just the optimal tube. Returns
+    (trajs (N, K, H, C), targets (N, 2), outcomes (N, K))."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+        FakeDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+        DiffusionPlanner,
+    )
+
+    target = np.asarray([0.0, -SPEED * DT * 16 / MAGIC], np.float32)
+    trajs_all, outcomes_all = [], []
+    for ep in range(episodes):
+        env = FakeDrivingEnv(
+            image_hw=hw,
+            seed=seed + ep,
+            # deterministic per-step render so snapshot/restore is exact
+            image_fn=lambda e: render_frame(
+                0.0, np.random.default_rng(7919 * e.steps + 1), hw
+            ),
+        )
+        obs = env.reset()
+        rng = np.random.default_rng(100 + ep)
+        for _ in range(steps_per_ep):
+            trajs, _ = planner.plan_hypotheses(
+                np.asarray(obs["camera"][0], np.uint8), target
+            )
+            outcomes_all.append([candidate_outcome(env, t) for t in trajs])
+            trajs_all.append(trajs)
+            k = int(rng.integers(0, len(trajs)))
+            control = DiffusionPlanner.post_process_control_interact(*trajs[k][0, -3:])
+            obs, _, done, _ = env.step({0: control})
+            if done:
+                break
+    trajs_all = np.stack(trajs_all)
+    targets = np.tile(target[None], (len(trajs_all), 1))
+    return trajs_all, targets, np.asarray(outcomes_all, np.float32)
+
+
+def analytic_scorer_regrets(trajs, targets, outcomes, idx) -> dict:
+    """Top-1 regret of the three analytic scorers (the exact formulas in
+    driving/plan.py) on rows ``idx`` of the outcome dataset — the offline
+    comparison baseline for the learned net."""
+    import jax
+    import jax.numpy as jnp
+
+    from autonomous_driving_with_diffusion_model_tpu.diffusion.guidance import (
+        target_guidance_loss,
+    )
+
+    t, g, o = trajs[idx], targets[idx], outcomes[idx]
+    dist = np.sum((t[:, :, -1, :2] / MAGIC - g[:, None, :]) ** 2, axis=-1)
+    jerk = np.diff(t[..., :2], n=2, axis=2)
+    jerk = np.sum(jerk * jerk, axis=(2, 3))
+    gl = jax.jit(
+        jax.vmap(
+            jax.vmap(
+                lambda tr, tg: target_guidance_loss((tr / MAGIC)[None, :, :2], tg),
+                (0, None),
+            )
+        )
+    )(jnp.asarray(t), jnp.asarray(g[:, None, :]))
+    gl = np.asarray(gl)
+
+    def regret(score):
+        pick = score.argmin(axis=1)
+        return float(np.mean(o[np.arange(len(idx)), pick] - o.min(axis=1)))
+
+    return {
+        "distance": regret(dist),
+        "jerk": regret(jerk),
+        "guidance_loss": regret(gl),
+    }
+
+
 # ------------------------------------------------------------------ main
 
 
@@ -201,6 +306,12 @@ def main():
         choices=["NO_GUIDANCE", "FREE_GUIDANCE"],
         help="FREE_GUIDANCE trains/evaluates the CFG path and also runs the "
         "K=8 hypothesis-scorer closed-loop comparison (guidance_loss vs jerk)",
+    )
+    ap.add_argument(
+        "--learned-scorer", action="store_true",
+        help="with FREE_GUIDANCE: collect a counterfactual outcome dataset on "
+        "the fake env, train models/scorer.py on it, and benchmark the "
+        "learned scorer closed-loop against the analytic ones",
     )
     args = ap.parse_args()
 
@@ -312,6 +423,7 @@ def main():
     # the TargetGuidance objective as selector vs comfort (jerk) vs the
     # distance default, closed-loop on the same env with the same checkpoint
     scorer_cl = {}
+    learned_scorer_info = {}
     if use_cond and not quick:
         for scorer in ("guidance_loss", "jerk", "auto"):
             planner_k = DiffusionPlanner(
@@ -321,6 +433,54 @@ def main():
             comp, dev = closed_loop_completion(planner_k, hw, use_target=True)
             scorer_cl[scorer] = {"completion": round(comp, 3), "mean_abs_lat_m": round(dev, 3)}
             print(f"[learnability] K=8 scorer={scorer}: {scorer_cl[scorer]}", flush=True)
+
+    # learned scorer (ROADMAP "hypothesis selection — a LEARNED scorer"):
+    # counterfactual outcome dataset -> train models/scorer.py -> closed loop
+    if args.learned_scorer and use_cond and not quick:
+        from autonomous_driving_with_diffusion_model_tpu.models.scorer import (
+            save_scorer,
+            train_scorer,
+        )
+
+        t0s = time.time()
+        collector = DiffusionPlanner(
+            make_cfg(NUM_HYPOTHESES=8, FIXED_INIT_NOISE=False), checkpoint=ckpt
+        )
+        trajs_d, targets_d, outcomes_d = collect_outcome_dataset(collector, hw)
+        print(
+            f"[learnability] outcome dataset: {trajs_d.shape[0]} states x "
+            f"{trajs_d.shape[1]} candidates in {time.time() - t0s:.0f}s",
+            flush=True,
+        )
+        params, sm = train_scorer(trajs_d, targets_d, outcomes_d, seed=0)
+        val_idx = np.asarray(sm.pop("val_indices"))
+        analytic = analytic_scorer_regrets(trajs_d, targets_d, outcomes_d, val_idx)
+        scorer_path = osp.join(args.workdir, "scorer.npz")
+        save_scorer(scorer_path, params)
+        planner_l = DiffusionPlanner(
+            make_cfg(
+                NUM_HYPOTHESES=8,
+                HYPOTHESIS_SCORER="learned",
+                SCORER_CHECKPOINT=scorer_path,
+            ),
+            checkpoint=ckpt,
+        )
+        comp, dev = closed_loop_completion(planner_l, hw, use_target=True)
+        scorer_cl["learned"] = {
+            "completion": round(comp, 3),
+            "mean_abs_lat_m": round(dev, 3),
+        }
+        learned_scorer_info = {
+            **{k: round(v, 5) if isinstance(v, float) else v for k, v in sm.items()},
+            "val_top1_regret_analytic": {k: round(v, 5) for k, v in analytic.items()},
+            "scorer_path": scorer_path,
+        }
+        print(
+            f"[learnability] K=8 scorer=learned: {scorer_cl['learned']} | "
+            f"offline val regret learned {sm['val_top1_regret']:.4f} vs "
+            f"analytic {analytic}",
+            flush=True,
+        )
 
     result = {
         "quick": quick,
@@ -341,6 +501,7 @@ def main():
         "closedloop_mean_abs_lat_m_trained": round(dev_trained, 3),
         "closedloop_mean_abs_lat_m_untrained": round(dev_untrained, 3),
         "k8_scorer_closedloop": scorer_cl,
+        "learned_scorer": learned_scorer_info,
         "pass": bool(
             l2_trained < 1.5
             and l2_trained < 0.5 * l2_untrained
