@@ -132,6 +132,86 @@ def write_dataset(root: str, n_per_class: int, seed: int, hw) -> list:
     return samples
 
 
+# ------------------------------------------------- curved-route closed loop
+
+
+def build_s_curve_route(step_m: float = 0.5):
+    """Route with real curvature: straight 30 m, left arc (R=20 m, 60 deg),
+    straight 20 m, right arc (R=20 m, 60 deg), straight 20 m. Returns
+    (points (N, 2), cumulative arc length (N,))."""
+    pts = [np.zeros(2)]
+    heading = 0.0
+    segments = [(30.0, 0.0), (20.0 * math.pi / 3, 1 / 20.0),
+                (20.0, 0.0), (20.0 * math.pi / 3, -1 / 20.0), (20.0, 0.0)]
+    for length, kappa in segments:
+        n = int(round(length / step_m))
+        for _ in range(n):
+            heading += kappa * step_m
+            pts.append(pts[-1] + step_m * np.array([math.cos(heading), math.sin(heading)]))
+    pts = np.asarray(pts)
+    s = np.concatenate([[0.0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=-1))])
+    return pts, s
+
+
+def ego_lookahead(route, s_cum, pos, yaw, lookahead_m=8.0):
+    """(forward, lateral-left, nearest_idx) of the point ``lookahead_m``
+    ahead (by arc length) of the nearest route point, in the ego frame."""
+    d = np.linalg.norm(route - np.asarray(pos)[None], axis=-1)
+    i = int(np.argmin(d))
+    j = int(np.searchsorted(s_cum, s_cum[i] + lookahead_m))
+    j = min(j, len(route) - 1)
+    dx, dy = route[j] - np.asarray(pos)
+    f = math.cos(yaw) * dx + math.sin(yaw) * dy
+    lat = -math.sin(yaw) * dx + math.cos(yaw) * dy
+    return f, lat, i
+
+
+# The training pairing: image rendered with curvature class c <-> expert
+# trajectory whose lateral offset at the 8 m horizon is ~68*c meters
+# (sum_k sin(kc)*0.5 ~ 3.4 m at c=0.05). The closed-loop camera therefore
+# renders c = lateral-of-8m-lookahead / 68 — exactly what a forward camera
+# encodes: route curvature AND the car's own heading error, so the learned
+# image->steer mapping closes the loop.
+LOOKAHEAD_GAIN_M_PER_CLASS = 68.0
+
+
+def closed_loop_curved(planner, hw, max_steps=400, use_target=True):
+    """Drive the S-curve with state-consistent rendering. Returns (arc-length
+    completion fraction, mean distance-to-route m)."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+        FakeDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+        DiffusionPlanner,
+    )
+
+    route, s_cum = build_s_curve_route()
+
+    def camera(e):
+        _, lat, _ = ego_lookahead(route, s_cum, e.pos, e.yaw)
+        c = float(np.clip(lat / LOOKAHEAD_GAIN_M_PER_CLASS, -0.1, 0.1))
+        return render_frame(c, np.random.default_rng(7919 * e.steps + 3), hw)
+
+    env = FakeDrivingEnv(route=route, image_hw=hw, seed=0, image_fn=camera)
+    obs = env.reset()
+    devs, best_s = [], 0.0
+    for _ in range(max_steps):
+        f, lat, i = ego_lookahead(route, s_cum, env.pos, env.yaw)
+        target = (
+            np.asarray([lat / MAGIC, -f / MAGIC], np.float32) if use_target else None
+        )
+        traj = planner.plan(np.asarray(obs["camera"][0], np.uint8), target)
+        control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
+        obs, _, done, _ = env.step({0: control})
+        d = np.linalg.norm(route - env.pos[None], axis=-1)
+        i = int(np.argmin(d))
+        devs.append(float(d[i]))
+        best_s = max(best_s, float(s_cum[i]))
+        if done or (s_cum[-1] - best_s) < 2.0 or devs[-1] > 8.0:
+            break
+    return best_s / float(s_cum[-1]), float(np.mean(devs)) if devs else 0.0
+
+
 # ------------------------------------------------- learned hypothesis scorer
 
 
@@ -419,6 +499,23 @@ def main():
         flush=True,
     )
 
+    # curved-route closed loop: state-consistent rendering (lookahead-point
+    # geometry -> marking tilt) proves the learned image->steer mapping
+    # actually steers through real curvature, not just lane-keeps a
+    # straight road
+    cv_steps = 30 if quick else 400
+    cv_comp_t, cv_dev_t = closed_loop_curved(
+        trained, hw, max_steps=cv_steps, use_target=use_cond
+    )
+    cv_comp_u, cv_dev_u = closed_loop_curved(
+        untrained, hw, max_steps=cv_steps, use_target=use_cond
+    )
+    print(
+        f"[learnability] curved closed-loop: trained completion {cv_comp_t:.2f} "
+        f"(dev {cv_dev_t:.2f} m), untrained {cv_comp_u:.2f} (dev {cv_dev_u:.2f} m)",
+        flush=True,
+    )
+
     # K=8 hypothesis-scorer comparison (ROADMAP "hypothesis selection"):
     # the TargetGuidance objective as selector vs comfort (jerk) vs the
     # distance default, closed-loop on the same env with the same checkpoint
@@ -431,7 +528,13 @@ def main():
                 checkpoint=ckpt,
             )
             comp, dev = closed_loop_completion(planner_k, hw, use_target=True)
-            scorer_cl[scorer] = {"completion": round(comp, 3), "mean_abs_lat_m": round(dev, 3)}
+            cvc, cvd = closed_loop_curved(planner_k, hw, use_target=True)
+            scorer_cl[scorer] = {
+                "completion": round(comp, 3),
+                "mean_abs_lat_m": round(dev, 3),
+                "curved_completion": round(cvc, 3),
+                "curved_mean_dev_m": round(cvd, 3),
+            }
             print(f"[learnability] K=8 scorer={scorer}: {scorer_cl[scorer]}", flush=True)
 
     # learned scorer (ROADMAP "hypothesis selection — a LEARNED scorer"):
@@ -466,9 +569,12 @@ def main():
             checkpoint=ckpt,
         )
         comp, dev = closed_loop_completion(planner_l, hw, use_target=True)
+        cvc, cvd = closed_loop_curved(planner_l, hw, use_target=True)
         scorer_cl["learned"] = {
             "completion": round(comp, 3),
             "mean_abs_lat_m": round(dev, 3),
+            "curved_completion": round(cvc, 3),
+            "curved_mean_dev_m": round(cvd, 3),
         }
         learned_scorer_info = {
             **{k: round(v, 5) if isinstance(v, float) else v for k, v in sm.items()},
@@ -500,6 +606,10 @@ def main():
         "closedloop_completion_untrained": round(cl_untrained, 3),
         "closedloop_mean_abs_lat_m_trained": round(dev_trained, 3),
         "closedloop_mean_abs_lat_m_untrained": round(dev_untrained, 3),
+        "curved_completion_trained": round(cv_comp_t, 3),
+        "curved_completion_untrained": round(cv_comp_u, 3),
+        "curved_mean_dev_m_trained": round(cv_dev_t, 3),
+        "curved_mean_dev_m_untrained": round(cv_dev_u, 3),
         "k8_scorer_closedloop": scorer_cl,
         "learned_scorer": learned_scorer_info,
         "pass": bool(
@@ -507,6 +617,7 @@ def main():
             and l2_trained < 0.5 * l2_untrained
             and sep_ok
             and cl_trained > cl_untrained + 0.1
+            and (quick or cv_comp_t > cv_comp_u + 0.5)
         ),
     }
     with open(args.out, "w") as f:

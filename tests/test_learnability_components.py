@@ -81,3 +81,66 @@ def test_fake_env_image_fn_hook():
     # default behavior unchanged: random frames
     env2 = FakeDrivingEnv(image_hw=(8, 12))
     assert np.asarray(env2.reset()["camera"][0]).std() > 0
+
+
+# --------------------------------------------- curved-route closed loop
+
+
+def test_s_curve_route_geometry():
+    from learnability import build_s_curve_route
+
+    route, s = build_s_curve_route()
+    # arc length monotonic, uniform ~0.5 m steps
+    assert np.all(np.diff(s) > 0.49) and np.all(np.diff(s) < 0.51)
+    # total: 30 + 20*pi/3 + 20 + 20*pi/3 + 20 m
+    assert abs(s[-1] - (70.0 + 40.0 * np.pi / 3)) < 1.0
+    # starts heading +x
+    assert route[1][0] > 0.4 and abs(route[1][1]) < 0.1
+    # the left arc raises y, the right arc bends heading back down
+    assert route[-1][1] > 10.0
+
+
+def test_ego_lookahead_sign_convention():
+    from learnability import build_s_curve_route, ego_lookahead
+
+    route, s = build_s_curve_route()
+    # on the initial straight, facing along the route: no lateral offset
+    f, lat, i = ego_lookahead(route, s, (5.0, 0.0), 0.0)
+    assert abs(lat) < 0.2 and 7.0 < f < 9.0 and i > 0
+    # yawed left (+) on the straight: the route ahead appears to the RIGHT
+    # (negative lateral-left) -> corrective negative curvature rendering
+    _, lat_l, _ = ego_lookahead(route, s, (5.0, 0.0), +0.3)
+    _, lat_r, _ = ego_lookahead(route, s, (5.0, 0.0), -0.3)
+    assert lat_l < -1.0 and lat_r > 1.0
+
+
+def test_curved_loop_scripted_expert_completes():
+    """A scripted policy that steers exactly as the TRAINING pairing maps the
+    rendered curvature class (steer = c/0.05*0.35) must track the S-curve —
+    validates the closed-loop harness independently of any model."""
+    from learnability import (
+        LOOKAHEAD_GAIN_M_PER_CLASS,
+        build_s_curve_route,
+        ego_lookahead,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+        FakeDrivingEnv,
+    )
+
+    route, s = build_s_curve_route()
+    env = FakeDrivingEnv(route=route, image_hw=(8, 12), seed=0)
+    env.reset()
+    devs, best_s = [], 0.0
+    for _ in range(500):
+        _, lat, _ = ego_lookahead(route, s, env.pos, env.yaw)
+        c = np.clip(lat / LOOKAHEAD_GAIN_M_PER_CLASS, -0.1, 0.1)
+        steer = float(np.clip(c / 0.05 * 0.35, -1, 1))
+        _, _, done, _ = env.step({0: np.array([0.6, steer, 0.0])})
+        d = np.linalg.norm(route - env.pos[None], axis=-1)
+        i = int(np.argmin(d))
+        devs.append(float(d[i]))
+        best_s = max(best_s, float(s[i]))
+        if done or (s[-1] - best_s) < 2.0:
+            break
+    assert best_s / s[-1] > 0.9, (best_s / s[-1], np.mean(devs))
+    assert np.mean(devs) < 2.0, np.mean(devs)
