@@ -383,9 +383,13 @@ def main():
     ap.add_argument("--out", default="LEARNABILITY.json")
     ap.add_argument(
         "--use-cond", default="NO_GUIDANCE",
-        choices=["NO_GUIDANCE", "FREE_GUIDANCE"],
+        choices=["NO_GUIDANCE", "FREE_GUIDANCE", "CLASSIFIER_GUIDANCE"],
         help="FREE_GUIDANCE trains/evaluates the CFG path and also runs the "
-        "K=8 hypothesis-scorer closed-loop comparison (guidance_loss vs jerk)",
+        "K=8 hypothesis-scorer closed-loop comparison (guidance_loss vs "
+        "jerk); CLASSIFIER_GUIDANCE trains the state-head variant and runs "
+        "the controllability sweep (guidance steers the plan to arbitrary "
+        "lateral targets, the reference's flagship eval config: DDIM-2, "
+        "scale 15)",
     )
     ap.add_argument(
         "--learned-scorer", action="store_true",
@@ -452,7 +456,7 @@ def main():
     # ---- evaluation through the standard planner path
     from autonomous_driving_with_diffusion_model_tpu.utils.config import create_cfg
 
-    use_cond = args.use_cond == "FREE_GUIDANCE"
+    use_cond = args.use_cond != "NO_GUIDANCE"
 
     def make_cfg(**tpu):
         cfg = create_cfg()
@@ -461,9 +465,16 @@ def main():
         cfg.EVAL.SCHEDULER = "ddim"
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.TRAIN.USE_COND = args.use_cond
-        if use_cond:
+        if args.use_cond == "FREE_GUIDANCE":
             cfg.GUIDANCE.USE_COND = "FREE_GUIDANCE"
             cfg.GUIDANCE.FREE_SCALE = 7.5
+        elif args.use_cond == "CLASSIFIER_GUIDANCE":
+            # the reference's best published eval config
+            # (configs/guidance/classifier_guidance.yaml): DDIM-2, TargetGuidance
+            cfg.GUIDANCE.USE_COND = "CLASSIFIER_GUIDANCE"
+            cfg.GUIDANCE.CLASSIFIER_SCALE = 15.0
+            cfg.GUIDANCE.LOSS_LIST = [["TargetGuidance", []]]
+            cfg.EVAL.SAMPLE_STEPS = 2
         for k, v in tpu.items():
             setattr(cfg.TPU, k, v)
         if quick:
@@ -519,9 +530,86 @@ def main():
     # K=8 hypothesis-scorer comparison (ROADMAP "hypothesis selection"):
     # the TargetGuidance objective as selector vs comfort (jerk) vs the
     # distance default, closed-loop on the same env with the same checkpoint
+    # controllability sweep (classifier guidance): the SAME checkpoint asked
+    # for arbitrary lateral targets on a straight road. The reference's
+    # TargetGuidance (control/guidance_loss.py) pulls ONE waypoint — the
+    # argmin-distance one — so that is the waypoint to measure; the target
+    # must also sit inside the plan's ~8 m reach, or the loss's
+    # erratic-update guard redirects the pull to the anchored origin and
+    # guidance is a no-op. At the final DDIM step grad_scale == 1, so the
+    # update is -(scale/15)*2*(x - tgt): scale 7.5 lands the waypoint
+    # EXACTLY on the target, the published scale 15 reflects past it
+    # (2*tgt - prior) — both measured here. Closed-loop, the action head
+    # (updated through the state-prediction graph) steers the ego toward
+    # the requested side.
+    controllability = {}
+    if args.use_cond == "CLASSIFIER_GUIDANCE" and not quick:
+        from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+            FakeDrivingEnv,
+        )
+
+        targets_m = [-3.0, -1.5, 0.0, 1.5, 3.0]
+        fwd_m = 6.5  # inside the ~8 m plan reach (see guard note above)
+
+        def pulled_lat(traj, x):
+            d = np.linalg.norm(traj[:, :2] - np.asarray([x, -fwd_m])[None], axis=-1)
+            return float(traj[int(np.argmin(d)), 0])
+
+        sweep = {}
+        for scale in (15.0, 7.5):
+            cfg_s = make_cfg()
+            cfg_s.GUIDANCE.CLASSIFIER_SCALE = scale
+            planner_s = trained if scale == 15.0 else DiffusionPlanner(cfg_s, checkpoint=ckpt)
+            lats = []
+            for i, x in enumerate(targets_m):
+                frame = render_frame(0.0, np.random.default_rng(3000 + i), hw)
+                tgt = np.asarray([x / MAGIC, -fwd_m / MAGIC], np.float32)
+                lats.append(pulled_lat(planner_s.plan(frame, tgt)[0], x))
+            err = [abs(v - x) for v, x in zip(lats, targets_m)]
+            sweep[f"scale_{scale:g}"] = {
+                "pulled_waypoint_lat_m": [round(v, 3) for v in lats],
+                "mean_abs_err_m": round(float(np.mean(err)), 3),
+                "monotonic": bool(np.all(np.diff(lats) > 0)),
+            }
+
+        # closed-loop: guidance toward a laterally offset target must steer
+        # the ego to that side through the action head
+        offsets_m, tail_lat = [-2.0, 0.0, 2.0], []
+        for off in offsets_m:
+            rng_cl = np.random.default_rng(0)
+            env = FakeDrivingEnv(
+                image_hw=hw, seed=0, image_fn=lambda e: render_frame(0.0, rng_cl, hw)
+            )
+            obs = env.reset()
+            tgt = np.asarray([off / MAGIC, -fwd_m / MAGIC], np.float32)
+            lats = []
+            for _ in range(120):
+                traj = trained.plan(np.asarray(obs["camera"][0], np.uint8), tgt)
+                control = DiffusionPlanner.post_process_control_interact(*traj[0, 0, -3:])
+                obs, _, done, _ = env.step({0: control})
+                lats.append(float(env.pos[1]))
+                if done:
+                    break
+            tail_lat.append(round(float(np.mean(lats[40:])), 3))
+
+        controllability = {
+            "targets_m": targets_m,
+            "target_fwd_m": fwd_m,
+            "open_loop": sweep,
+            "closed_loop_offsets_m": offsets_m,
+            "closed_loop_tail_lat_m": tail_lat,
+            "pass": bool(
+                sweep["scale_7.5"]["mean_abs_err_m"] < 0.3
+                and sweep["scale_7.5"]["monotonic"]
+                and sweep["scale_15"]["monotonic"]
+                and tail_lat[0] < -1.0 < 1.0 < tail_lat[2]
+            ),
+        }
+        print(f"[learnability] controllability: {controllability}", flush=True)
+
     scorer_cl = {}
     learned_scorer_info = {}
-    if use_cond and not quick:
+    if args.use_cond == "FREE_GUIDANCE" and not quick:
         for scorer in ("guidance_loss", "jerk", "auto"):
             planner_k = DiffusionPlanner(
                 make_cfg(NUM_HYPOTHESES=8, HYPOTHESIS_SCORER=scorer),
@@ -539,7 +627,7 @@ def main():
 
     # learned scorer (ROADMAP "hypothesis selection — a LEARNED scorer"):
     # counterfactual outcome dataset -> train models/scorer.py -> closed loop
-    if args.learned_scorer and use_cond and not quick:
+    if args.learned_scorer and args.use_cond == "FREE_GUIDANCE" and not quick:
         from autonomous_driving_with_diffusion_model_tpu.models.scorer import (
             save_scorer,
             train_scorer,
@@ -595,7 +683,7 @@ def main():
         "perception": "tiny" if quick else "resnet34",
         "image_hw": list(hw),
         "train_iters": max_iter,
-        "train_seconds": round(train_s, 1),
+        "train_seconds": None if args.skip_train else round(train_s, 1),
         "n_train": len(train_samples),
         "n_heldout": len(heldout),
         "heldout_waypoint_rms_m_trained": round(l2_trained, 4),
@@ -612,12 +700,14 @@ def main():
         "curved_mean_dev_m_untrained": round(cv_dev_u, 3),
         "k8_scorer_closedloop": scorer_cl,
         "learned_scorer": learned_scorer_info,
+        "controllability": controllability,
         "pass": bool(
             l2_trained < 1.5
             and l2_trained < 0.5 * l2_untrained
             and sep_ok
             and cl_trained > cl_untrained + 0.1
             and (quick or cv_comp_t > cv_comp_u + 0.5)
+            and controllability.get("pass", True)
         ),
     }
     with open(args.out, "w") as f:

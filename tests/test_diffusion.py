@@ -219,3 +219,41 @@ def test_guidance_transform_matches_reference(rng):
     x_jax = jnp.concatenate([state_pred_fn(jnp.asarray(action_np)), jnp.asarray(action_np)], -1)
     out = guide(x_jax, jnp.asarray(action_np), jnp.asarray(target), grad_scale)
     np.testing.assert_allclose(np.asarray(out), ref_out.detach().numpy(), atol=2e-5)
+
+
+def test_guidance_scale_landing_property():
+    """The steering law behind the controllability sweep (learnability.py):
+    with a single in-reach target and grad_scale == 1 (the final step's
+    value), the state-dim update is -(scale/15)*2*(x_argmin - tgt) — so
+    scale 7.5 lands the argmin waypoint EXACTLY on the target and scale 15
+    reflects it past the target to 2*tgt - x_prior. Pure property of
+    make_guidance_fn + target_guidance_loss; measured on-device at
+    flagship scale in LEARNABILITY_CLS.json."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion import make_guidance_fn
+
+    loss_list = [["TargetGuidance", []]]
+    # straight-ahead plan: forward stored as negative y, zero lateral
+    x = np.zeros((1, 16, 7), np.float32)
+    x[0, :, 1] = -0.05 * np.arange(16)
+    target = np.array([[0.1, -0.35]], np.float32)  # argmin waypoint h=7
+    # in reach: |endpoint| = 0.75 > |target| = 0.364 (guard off)
+    action = np.zeros((1, 16, 3), np.float32)
+
+    out_75 = np.asarray(
+        make_guidance_fn(loss_list, 7.5, 1, None)(
+            jnp.asarray(x), jnp.asarray(action), jnp.asarray(target), 1.0
+        )
+    )
+    np.testing.assert_allclose(out_75[0, 7, :2], target[0], atol=1e-6)
+
+    out_15 = np.asarray(
+        make_guidance_fn(loss_list, 15.0, 1, None)(
+            jnp.asarray(x), jnp.asarray(action), jnp.asarray(target), 1.0
+        )
+    )
+    np.testing.assert_allclose(out_15[0, 7, :2], 2.0 * target[0] - x[0, 7, :2], atol=1e-6)
+
+    # only the argmin waypoint's position moves
+    mask = np.ones(16, bool)
+    mask[7] = False
+    np.testing.assert_array_equal(out_75[0, mask, :2], x[0, mask, :2])
