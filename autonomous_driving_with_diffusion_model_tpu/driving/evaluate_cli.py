@@ -163,5 +163,13 @@ def main(argv=None) -> dict:
     return data
 
 
+def console_main(argv=None) -> int:
+    """Entry point for the ``adm-evaluate`` console script: ``main`` returns
+    the route-record list for library callers, which a generated
+    ``sys.exit(main())`` wrapper would misread as a failing exit status."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -113,6 +113,7 @@ def train_scorer(
     weight_decay: float = 0.1,
     hidden: Tuple[int, ...] = (64, 64),
     val_fraction: float = 0.2,
+    groups: Optional[np.ndarray] = None,
 ) -> Tuple[Dict, Dict]:
     """Fit the scorer on counterfactual outcome labels.
 
@@ -121,6 +122,12 @@ def train_scorer(
     metrics) where metrics reports val MSE and top-1 regret — the mean
     outcome gap between the scorer's pick and the oracle-best candidate —
     for the scorer and for a random-pick baseline.
+
+    ``groups`` (N,) assigns each row to an episode; when given, whole
+    groups are held out until >= ``val_fraction`` of the rows are in the
+    validation set. Consecutive rows of one episode are near-duplicates, so
+    a row-level random split would leak train states into validation and
+    inflate the val metrics.
 
     Full-batch AdamW, ``steps`` updates inside one ``lax.scan`` (single
     device dispatch; the dataset is a few thousand rows). The strong default
@@ -137,9 +144,19 @@ def train_scorer(
     outcomes = np.asarray(outcomes, np.float32)
     n = trajs.shape[0]
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
     n_val = max(1, int(round(n * val_fraction)))
-    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    if groups is not None:
+        groups = np.asarray(groups)
+        val_mask = np.zeros(n, bool)
+        for g in rng.permutation(np.unique(groups)):
+            if val_mask.sum() >= n_val:
+                break
+            val_mask |= groups == g
+        val_idx = np.flatnonzero(val_mask)
+        tr_idx = np.flatnonzero(~val_mask)
+    else:
+        perm = rng.permutation(n)
+        val_idx, tr_idx = perm[:n_val], perm[n_val:]
 
     mu, sd = float(outcomes[tr_idx].mean()), float(outcomes[tr_idx].std() + 1e-8)
     y = (outcomes - mu) / sd

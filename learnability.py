@@ -215,36 +215,72 @@ def closed_loop_curved(planner, hw, max_steps=400, use_target=True):
 # ------------------------------------------------- learned hypothesis scorer
 
 
-def candidate_outcome(env, cand: np.ndarray) -> float:
+def _route_geometry(route):
+    """(segments, segment lengths, cumulative arc length) of a polyline."""
+    seg = np.diff(route, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    s_cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    return seg, seg_len, s_cum
+
+
+def route_deviation_and_progress(route, pos, geom=None):
+    """Perpendicular distance from ``pos`` to the route POLYLINE plus the arc
+    length of the projection point — segment-accurate for any waypoint
+    spacing (nearest-point distance would charge a straight rollout for the
+    longitudinal gap between waypoints)."""
+    seg, seg_len, s_cum = geom if geom is not None else _route_geometry(route)
+    rel = np.asarray(pos)[None] - route[:-1]
+    t = np.clip(np.einsum("ij,ij->i", rel, seg) / (seg_len**2 + 1e-12), 0.0, 1.0)
+    d = np.linalg.norm(rel - t[:, None] * seg, axis=1)
+    i = int(np.argmin(d))
+    return float(d[i]), float(s_cum[i] + t[i] * seg_len[i])
+
+
+_STUB_FRAME = np.zeros((1, 1, 3), np.uint8)
+
+
+def candidate_outcome(env, cand: np.ndarray, geom=None) -> float:
     """Execute one candidate plan OPEN-LOOP from the env's current state and
-    return the realized outcome (lower = better): mean |lateral route
-    deviation| over the horizon plus a shortfall penalty if the rollout
-    covers less forward distance than the nominal cruise. State (incl. RNG)
-    is restored afterwards, so all K candidates are labeled counterfactually
-    from the same snapshot."""
+    return the realized outcome (lower = better): mean perpendicular route
+    deviation over the horizon plus a shortfall penalty if the rollout gains
+    less arc length than the nominal cruise. State (incl. RNG) is restored
+    afterwards, so all K candidates are labeled counterfactually from the
+    same snapshot. Rendering is stubbed for the rollout — the observations
+    are never read, and the camera + BEV draws dominate the labeling cost."""
     from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
         DiffusionPlanner,
     )
 
+    route = np.asarray(env.route, np.float64)
+    if geom is None:
+        geom = _route_geometry(route)
     snap = env.snapshot()
-    x0 = float(env.pos[0])
-    lats = []
+    saved = env.image_fn, env.bev_hw
+    env.image_fn, env.bev_hw = (lambda e: _STUB_FRAME), (1, 1)
+    _, s0 = route_deviation_and_progress(route, env.pos, geom)
+    devs = []
     for row in cand:
         control = DiffusionPlanner.post_process_control_interact(*row[-3:])
         env.step({0: control})
-        lats.append(abs(float(env.pos[1])))
-    fwd = float(env.pos[0]) - x0
+        devs.append(route_deviation_and_progress(route, env.pos, geom)[0])
+    _, s1 = route_deviation_and_progress(route, env.pos, geom)
+    env.image_fn, env.bev_hw = saved
     env.restore(snap)
     nominal = SPEED * DT * len(cand)
-    return float(np.mean(lats) + 2.0 * max(0.0, 1.0 - fwd / nominal))
+    return float(np.mean(devs) + 2.0 * max(0.0, 1.0 - (s1 - s0) / nominal))
 
 
 def collect_outcome_dataset(planner, hw, episodes=6, steps_per_ep=80, seed=0):
     """Closed-loop exploration with counterfactual labeling: at each state,
     plan K fresh-noise hypotheses, label EVERY candidate by open-loop rollout
     (candidate_outcome), then execute a RANDOM candidate so the visited
-    states cover recovery situations, not just the optimal tube. Returns
-    (trajs (N, K, H, C), targets (N, 2), outcomes (N, K))."""
+    states cover recovery situations, not just the optimal tube. Episodes
+    alternate the straight route and the S-curve, and the per-step target is
+    the same route lookahead the closed-loop benchmarks feed — so the
+    scorer trains on the target/state distribution it is evaluated on, with
+    the same state-consistent rendering. Returns (trajs (N, K, H, C),
+    targets (N, 2), outcomes (N, K), episode ids (N,) for a leakage-free
+    group split)."""
     from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
         FakeDrivingEnv,
     )
@@ -252,33 +288,48 @@ def collect_outcome_dataset(planner, hw, episodes=6, steps_per_ep=80, seed=0):
         DiffusionPlanner,
     )
 
-    target = np.asarray([0.0, -SPEED * DT * 16 / MAGIC], np.float32)
-    trajs_all, outcomes_all = [], []
+    straight = np.stack([np.arange(0.0, 200.0, 0.5), np.zeros(400)], axis=-1)
+    curve, curve_s = build_s_curve_route()
+    trajs_all, targets_all, outcomes_all, groups = [], [], [], []
     for ep in range(episodes):
-        env = FakeDrivingEnv(
-            image_hw=hw,
-            seed=seed + ep,
-            # deterministic per-step render so snapshot/restore is exact
-            image_fn=lambda e: render_frame(
-                0.0, np.random.default_rng(7919 * e.steps + 1), hw
-            ),
-        )
+        curved = ep % 2 == 1
+        route = curve if curved else straight
+        geom = _route_geometry(route)
+        s_cum = geom[2]
+
+        def camera(e, _route=route, _s=s_cum, _curved=curved):
+            # deterministic per-step render so snapshot/restore is exact;
+            # same laws as closed_loop_completion / closed_loop_curved
+            if not _curved:
+                return render_frame(0.0, np.random.default_rng(7919 * e.steps + 1), hw)
+            _, lat, _ = ego_lookahead(_route, _s, e.pos, e.yaw)
+            c = float(np.clip(lat / LOOKAHEAD_GAIN_M_PER_CLASS, -0.1, 0.1))
+            return render_frame(c, np.random.default_rng(7919 * e.steps + 3), hw)
+
+        env = FakeDrivingEnv(route=route, image_hw=hw, seed=seed + ep, image_fn=camera)
         obs = env.reset()
         rng = np.random.default_rng(100 + ep)
         for _ in range(steps_per_ep):
+            f, lat, _ = ego_lookahead(route, s_cum, env.pos, env.yaw)
+            target = np.asarray([lat / MAGIC, -f / MAGIC], np.float32)
             trajs, _ = planner.plan_hypotheses(
                 np.asarray(obs["camera"][0], np.uint8), target
             )
-            outcomes_all.append([candidate_outcome(env, t) for t in trajs])
+            outcomes_all.append([candidate_outcome(env, t, geom) for t in trajs])
             trajs_all.append(trajs)
+            targets_all.append(target)
+            groups.append(ep)
             k = int(rng.integers(0, len(trajs)))
             control = DiffusionPlanner.post_process_control_interact(*trajs[k][0, -3:])
             obs, _, done, _ = env.step({0: control})
             if done:
                 break
-    trajs_all = np.stack(trajs_all)
-    targets = np.tile(target[None], (len(trajs_all), 1))
-    return trajs_all, targets, np.asarray(outcomes_all, np.float32)
+    return (
+        np.stack(trajs_all),
+        np.stack(targets_all),
+        np.asarray(outcomes_all, np.float32),
+        np.asarray(groups, np.int32),
+    )
 
 
 def analytic_scorer_regrets(trajs, targets, outcomes, idx) -> dict:
@@ -398,6 +449,9 @@ def main():
         "learned scorer closed-loop against the analytic ones",
     )
     args = ap.parse_args()
+    if args.learned_scorer and (args.use_cond != "FREE_GUIDANCE" or args.quick):
+        ap.error("--learned-scorer requires --use-cond FREE_GUIDANCE without "
+                 "--quick (it would otherwise be silently skipped)")
 
     from autonomous_driving_with_diffusion_model_tpu.utils.platform import (
         apply_adm_platform,
@@ -559,7 +613,10 @@ def main():
         for scale in (15.0, 7.5):
             cfg_s = make_cfg()
             cfg_s.GUIDANCE.CLASSIFIER_SCALE = scale
-            planner_s = trained if scale == 15.0 else DiffusionPlanner(cfg_s, checkpoint=ckpt)
+            if scale == trained.cfg.GUIDANCE.CLASSIFIER_SCALE:
+                planner_s = trained  # the flagship planner already runs this scale
+            else:
+                planner_s = DiffusionPlanner(cfg_s, checkpoint=ckpt)
             lats = []
             for i, x in enumerate(targets_m):
                 frame = render_frame(0.0, np.random.default_rng(3000 + i), hw)
@@ -637,13 +694,13 @@ def main():
         collector = DiffusionPlanner(
             make_cfg(NUM_HYPOTHESES=8, FIXED_INIT_NOISE=False), checkpoint=ckpt
         )
-        trajs_d, targets_d, outcomes_d = collect_outcome_dataset(collector, hw)
+        trajs_d, targets_d, outcomes_d, groups_d = collect_outcome_dataset(collector, hw)
         print(
             f"[learnability] outcome dataset: {trajs_d.shape[0]} states x "
             f"{trajs_d.shape[1]} candidates in {time.time() - t0s:.0f}s",
             flush=True,
         )
-        params, sm = train_scorer(trajs_d, targets_d, outcomes_d, seed=0)
+        params, sm = train_scorer(trajs_d, targets_d, outcomes_d, seed=0, groups=groups_d)
         val_idx = np.asarray(sm.pop("val_indices"))
         analytic = analytic_scorer_regrets(trajs_d, targets_d, outcomes_d, val_idx)
         scorer_path = osp.join(args.workdir, "scorer.npz")

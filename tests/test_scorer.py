@@ -150,3 +150,35 @@ def test_candidate_outcome_prefers_straight_and_restores_state():
     after = env.snapshot()
     np.testing.assert_array_equal(after["pos"], before["pos"])
     assert after == {**after, **{k: before[k] for k in ("yaw", "speed", "steps")}}
+
+
+def test_route_deviation_segment_accuracy():
+    """Polyline distance must not charge a rollout for the longitudinal gap
+    between waypoints (the straight default route has 2 m spacing)."""
+    from learnability import _route_geometry, route_deviation_and_progress
+
+    route = np.stack([np.arange(0.0, 20.0, 2.0), np.zeros(10)], axis=-1)
+    geom = _route_geometry(route)
+    d, s = route_deviation_and_progress(route, (5.0, 0.0), geom)  # between wps
+    assert abs(d) < 1e-9 and abs(s - 5.0) < 1e-9
+    d, s = route_deviation_and_progress(route, (5.0, 0.7), geom)
+    assert abs(d - 0.7) < 1e-9 and abs(s - 5.0) < 1e-9
+    # beyond the last waypoint: clamps to the endpoint
+    d, s = route_deviation_and_progress(route, (30.0, 0.0), geom)
+    assert abs(s - 18.0) < 1e-9 and abs(d - 12.0) < 1e-9
+
+
+def test_train_scorer_group_split_holds_out_whole_episodes(rng):
+    """With ``groups``, validation rows come from complete held-out episodes
+    (no row-level leakage between temporally adjacent near-duplicates)."""
+    n, k = 200, 4
+    trajs = rng.standard_normal((n, k, 16, 7)).astype(np.float32)
+    targets = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+    outcomes = rng.standard_normal((n, k)).astype(np.float32)
+    groups = np.repeat(np.arange(8), 25)
+    _, sm = train_scorer(trajs, targets, outcomes, seed=0, steps=5, groups=groups)
+    val_idx = np.asarray(sm["val_indices"])
+    val_groups = set(groups[val_idx].tolist())
+    train_groups = set(groups[np.setdiff1d(np.arange(n), val_idx)].tolist())
+    assert val_groups and val_groups.isdisjoint(train_groups)
+    assert len(val_idx) >= int(0.2 * n)
