@@ -64,3 +64,19 @@ def test_resume_skips_finished_routes(tmp_path):
     assert [r["route_id"] for r in data2["_checkpoint"]["records"]] == [
         r["route_id"] for r in before["_checkpoint"]["records"]
     ]
+
+
+def test_console_main_returns_zero(tmp_path):
+    """The adm-evaluate console script wraps console_main: main() returns the
+    route records (truthy), which a generated sys.exit(main()) would read as
+    a failing exit status — console_main must return 0 on success."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluate_cli import (
+        console_main,
+    )
+
+    rc = console_main([
+        "--env-id", "Endless-v0", "--weather-group", "simple", "--fake-env",
+        "--checkpoint-json", str(tmp_path / "ckpt.json"), "--max-steps", "5",
+        "--opts", *AGENT_OPTS,
+    ])
+    assert rc == 0
