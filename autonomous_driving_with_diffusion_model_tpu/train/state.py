@@ -110,6 +110,16 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
         power=cfg.TRAIN.EMA_POWER,
     )
 
+    bn_mode = str(getattr(cfg.TPU, "BN_MODE", "train"))
+    if bn_mode not in ("train", "frozen"):
+        raise ValueError(f"TPU.BN_MODE must be 'train' or 'frozen', got {bn_mode!r}")
+    # "frozen" normalizes with the pretrained running stats (BN eval mode,
+    # stats never mutate) while dropout stays active — the torch frozen-BN
+    # fine-tuning practice. Removes the per-conv batch reductions measured as
+    # the whole train-vs-inference MFU gap (docs/DESIGN.md); opt-in divergence
+    # from the reference's model.train() semantics (docs/PARITY.md).
+    bn_train = bn_mode == "train"
+
     def _forward(params, batch_stats, noise_data, image, t, cond, dropout_key):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -117,7 +127,7 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
             img=image,
             time=t,
             cond=cond,
-            train=True,
+            train=bn_train,
             deterministic=False,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_key},

@@ -501,6 +501,7 @@ def main():
     train_ms = {}
     train_sps = {}
     train_gflop_per_sample = None
+    train_gflop_per_sample_frozen = None
     for tag, compute_dtype, B, remat in (
         ("fp32_b8", "float32", 8, False),
         ("fp32_b64", "float32", 64, False),
@@ -509,10 +510,16 @@ def main():
         ("bf16_b128", "bfloat16", 128, False),
         ("bf16_b256", "bfloat16", 256, False),
         ("bf16_b256_remat", "bfloat16", 256, True),
+        # opt-in divergence knob (TPU.BN_MODE=frozen, docs/PARITY.md): BN in
+        # eval mode during training — removes the batch-stat reductions that
+        # account for the whole train-vs-inference MFU gap (docs/DESIGN.md)
+        ("bf16_b256_frozen_bn", "bfloat16", 256, False),
     ):
         cfg_t = create_cfg()
         cfg_t.TPU.COMPUTE_DTYPE = compute_dtype
         cfg_t.TPU.REMAT = remat
+        if tag.endswith("frozen_bn"):
+            cfg_t.TPU.BN_MODE = "frozen"
         model_t = build_model(cfg_t)
         variables_t = jax.jit(
             lambda k: model_t.init(
@@ -533,6 +540,18 @@ def main():
                 _log(f"train useful FLOPs: {train_gflop_per_sample:.2f} GFLOP/sample")
             except Exception as exc:
                 _log(f"train cost_analysis unavailable: {type(exc).__name__}")
+        if tag.endswith("frozen_bn") and train_gflop_per_sample_frozen is None:
+            # the frozen-BN graph does slightly less work; count its own FLOPs
+            try:
+                train_gflop_per_sample_frozen = (
+                    _flops(step_t.lower(state_t, batch, jax.random.PRNGKey(1))) / B / 1e9
+                )
+                _log(
+                    "train useful FLOPs (frozen BN): "
+                    f"{train_gflop_per_sample_frozen:.2f} GFLOP/sample"
+                )
+            except Exception as exc:
+                _log(f"frozen-BN cost_analysis unavailable: {type(exc).__name__}")
         _log(f"compiling train step {tag}...")
         try:
             ms, state_t = time_train(step_t, state_t, batch)
@@ -544,9 +563,13 @@ def main():
         _log(f"train {tag}: {ms:.2f} ms/step, {train_sps[tag]:.1f} samples/s/chip")
         del state_t, step_t, batch, variables_t
 
-    train_mfu_pct = train_best = None
+    train_mfu_pct = train_best = train_mfu_pct_frozen = None
     if train_gflop_per_sample and peak_tflops:
-        bf16_points = {k: v for k, v in train_sps.items() if k.startswith("bf16")}
+        bf16_points = {
+            k: v
+            for k, v in train_sps.items()
+            if k.startswith("bf16") and "frozen" not in k
+        }
         if bf16_points:
             train_best = max(bf16_points, key=bf16_points.get)
             train_mfu_pct = (
@@ -556,6 +579,17 @@ def main():
                 f"train best point {train_best}: {bf16_points[train_best]:.0f} "
                 f"samples/s = {train_mfu_pct:.1f}% useful MFU"
             )
+    if train_gflop_per_sample_frozen and peak_tflops and "bf16_b256_frozen_bn" in train_sps:
+        train_mfu_pct_frozen = (
+            100.0
+            * train_sps["bf16_b256_frozen_bn"]
+            * train_gflop_per_sample_frozen
+            / 1e3
+        ) / peak_tflops
+        _log(
+            f"train frozen-BN point: {train_sps['bf16_b256_frozen_bn']:.0f} "
+            f"samples/s = {train_mfu_pct_frozen:.1f}% useful MFU (opt-in knob)"
+        )
 
     # headline: default deployment dtype; the in-loop figure when available
     # (single-dispatch device time), else the chained upper bound
@@ -590,6 +624,10 @@ def main():
             and round(train_gflop_per_sample, 2),
             "train_best_point": train_best,
             "train_mfu_pct_useful": train_mfu_pct and round(train_mfu_pct, 1),
+            "train_mfu_pct_useful_frozen_bn": train_mfu_pct_frozen
+            and round(train_mfu_pct_frozen, 1),
+            "train_gflop_per_sample_useful_frozen_bn": train_gflop_per_sample_frozen
+            and round(train_gflop_per_sample_frozen, 2),
             "p50_plan_latency_ms_inloop": {
                 k: round(v, 3) for k, v in inloop.items()
             },

@@ -448,6 +448,14 @@ def main():
         "the fake env, train models/scorer.py on it, and benchmark the "
         "learned scorer closed-loop against the analytic ones",
     )
+    ap.add_argument(
+        "--bn-mode", default="train", choices=["train", "frozen"],
+        help="TPU.BN_MODE for the training run: 'frozen' keeps the encoder's "
+        "BatchNorm in eval mode (the fine-tune-a-pretrained-backbone "
+        "practice; recovers the measured BN train-mode MFU cost — "
+        "docs/PARITY.md divergence #8). Default reproduces the reference's "
+        "batch-statistics semantics.",
+    )
     args = ap.parse_args()
     if args.learned_scorer and (args.use_cond != "FREE_GUIDANCE" or args.quick):
         ap.error("--learned-scorer requires --use-cond FREE_GUIDANCE without "
@@ -497,6 +505,7 @@ def main():
         "TRAIN.IMAGE_WIDTH", str(hw[1]),
         "TPU.COMPUTE_DTYPE", "bfloat16",
         "TRAIN.USE_COND", args.use_cond,
+        "TPU.BN_MODE", args.bn_mode,
     ]
     if quick:
         opts += ["MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny"]
@@ -736,6 +745,7 @@ def main():
     result = {
         "quick": quick,
         "use_cond": args.use_cond,
+        "bn_mode": args.bn_mode,
         "model_dim": 8 if quick else 64,
         "perception": "tiny" if quick else "resnet34",
         "image_hw": list(hw),

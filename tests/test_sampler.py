@@ -88,6 +88,31 @@ def test_hoisted_vs_strict_perception_identical(rng):
     np.testing.assert_allclose(np.asarray(hoisted), np.asarray(strict), atol=1e-5)
 
 
+def test_sampler_batch_sharded_over_mesh(rng):
+    """DP inference serving: a batch-8 plan sharded over the 8-device mesh
+    equals the unsharded result (one trajectory per device, params
+    replicated) — the multi-chip throughput path for offline sampling."""
+    from autonomous_driving_with_diffusion_model_tpu.parallel import (
+        make_mesh,
+        shard_batch,
+    )
+
+    cfg = tiny_cfg("NO_GUIDANCE", "ddim", steps=3)
+    model, variables, _ = setup_model(cfg, rng)
+    schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
+    sample = jax.jit(sampler_from_cfg(model, schedule, cfg))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    init = jnp.asarray(rng.standard_normal((8, 16, 7)), jnp.float32)
+    img8 = jnp.asarray(rng.standard_normal((8, 32, 48, 3)), jnp.float32)
+    plain = np.asarray(sample(variables, init, image=img8))
+    sharded_in = shard_batch({"init": init, "image": img8}, mesh)
+    sharded = np.asarray(
+        sample(variables, sharded_in["init"], image=sharded_in["image"])
+    )
+    np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+
 def test_free_guidance_scale_one_equals_cond_path(rng):
     """With FREE_SCALE=1, CFG output reduces to the conditional branch."""
     cfg = tiny_cfg("FREE_GUIDANCE", "ddim", steps=2)

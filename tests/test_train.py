@@ -99,6 +99,54 @@ def test_train_step_decreases_loss(rng, use_cond):
     assert np.isfinite(losses).all()
 
 
+def test_frozen_bn_mode(rng):
+    """TPU.BN_MODE=frozen: encoder BN normalizes with running stats and never
+    mutates them (the torch frozen-backbone practice); params still train and
+    the loss still falls. Default mode must keep mutating stats."""
+    cfg = tiny_cfg(perception="resnet18")
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.LR_WARMUP = 1
+    cfg.TPU.BN_MODE = "frozen"
+    model, state = init_state(cfg, rng)
+    schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
+    step = jax.jit(make_train_step(model, schedule, cfg))
+    batch = make_batch(rng, batch=4)
+    losses = []
+    for i in range(15):
+        state2, metrics = step(state if i == 0 else state2, batch, jax.random.PRNGKey(i % 3))
+        losses.append(float(metrics["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.batch_stats,
+        state2.batch_stats,
+    )
+    moved = np.abs(
+        np.asarray(state2.params["time_mlp"]["fc1"]["weight"])
+        - np.asarray(state.params["time_mlp"]["fc1"]["weight"])
+    ).max()
+    assert moved > 0
+    assert losses[-1] < losses[0] * 0.9 and np.isfinite(losses).all()
+
+    # default ("train") mode mutates the running stats — the reference contract
+    cfg_t = tiny_cfg(perception="resnet18")
+    model_t, state_t = init_state(cfg_t, rng)
+    step_t = jax.jit(make_train_step(model_t, schedule, cfg_t))
+    state_t2, _ = step_t(state_t, batch, jax.random.PRNGKey(0))
+    diffs = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            state_t.batch_stats,
+            state_t2.batch_stats,
+        )
+    )
+    assert max(diffs) > 0
+
+    cfg_bad = tiny_cfg()
+    cfg_bad.TPU.BN_MODE = "nope"
+    with pytest.raises(ValueError, match="BN_MODE"):
+        make_train_step(build_model(cfg_bad, dtype=jnp.float32), schedule, cfg_bad)
+
+
 def test_train_step_on_8_device_mesh(rng):
     """The SPMD path: batch sharded over the data axis, state replicated."""
     cfg = tiny_cfg()
