@@ -42,12 +42,29 @@ class FakeDrivingEnv:
         self.route = route
         self.reset()
 
+    def _next_point(self, min_dist: float) -> np.ndarray:
+        """First route point at least ``min_dist`` ahead of the ego's route
+        progress. Progress is a monotonic index (advanced while the next
+        point is no farther than the current one) — a raw ``dist > thresh``
+        scan would select route[0] again once the ego passes it by more than
+        the threshold, steering consumers back toward the origin."""
+        while self._route_i + 1 < len(self.route) and (
+            np.linalg.norm(self.route[self._route_i + 1] - self.pos)
+            <= np.linalg.norm(self.route[self._route_i] - self.pos)
+        ):
+            self._route_i += 1
+        j = self._route_i
+        while (
+            j < len(self.route) - 1
+            and np.linalg.norm(self.route[j] - self.pos) <= min_dist
+        ):
+            j += 1
+        return self.route[j]
+
     def _obs(self) -> Dict:
         h, w = self.image_hw
         bh, bw = self.bev_hw
-        dists = np.linalg.norm(self.route - self.pos[None], axis=-1)
-        ahead = np.where(dists > 4.0)[0]
-        nxt = self.route[ahead[0]] if len(ahead) else self.route[-1]
+        nxt = self._next_point(4.0)
         camera = (
             self.image_fn(self)
             if self.image_fn is not None
@@ -77,6 +94,7 @@ class FakeDrivingEnv:
             "steer": self.steer,
             "brake": self.brake,
             "steps": self.steps,
+            "route_i": self._route_i,
             "rng": self.rng.bit_generator.state,
         }
 
@@ -89,6 +107,7 @@ class FakeDrivingEnv:
         self.steer = snap["steer"]
         self.brake = snap["brake"]
         self.steps = snap["steps"]
+        self._route_i = snap["route_i"]
         self.rng.bit_generator.state = snap["rng"]
 
     def reset(self) -> Dict:
@@ -99,6 +118,7 @@ class FakeDrivingEnv:
         self.steer = 0.0
         self.brake = 0.0
         self.steps = 0
+        self._route_i = 0
         return self._obs()
 
     def step(self, control_dict: Dict[int, np.ndarray]):
@@ -107,9 +127,7 @@ class FakeDrivingEnv:
             # expert autopilot (the collector passes None; reference routes it
             # to TaskVehicle.get_control_to_target): steer toward the next
             # route point, cruise at ~5 m/s
-            dists = np.linalg.norm(self.route - self.pos[None], axis=-1)
-            ahead = np.where(dists > 3.0)[0]
-            nxt = self.route[ahead[0]] if len(ahead) else self.route[-1]
+            nxt = self._next_point(3.0)
             heading = np.arctan2(nxt[1] - self.pos[1], nxt[0] - self.pos[0])
             err = (heading - self.yaw + np.pi) % (2 * np.pi) - np.pi
             control = np.array([0.6 if self.speed < 5.0 else 0.0, np.clip(err, -1, 1), 0.0])

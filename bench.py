@@ -563,6 +563,9 @@ def main():
         _log(f"train {tag}: {ms:.2f} ms/step, {train_sps[tag]:.1f} samples/s/chip")
         del state_t, step_t, batch, variables_t
 
+    def _train_mfu(samples_per_s, gflop_per_sample):
+        return (100.0 * samples_per_s * gflop_per_sample / 1e3) / peak_tflops
+
     train_mfu_pct = train_best = train_mfu_pct_frozen = None
     if train_gflop_per_sample and peak_tflops:
         bf16_points = {
@@ -572,20 +575,15 @@ def main():
         }
         if bf16_points:
             train_best = max(bf16_points, key=bf16_points.get)
-            train_mfu_pct = (
-                100.0 * bf16_points[train_best] * train_gflop_per_sample / 1e3
-            ) / peak_tflops
+            train_mfu_pct = _train_mfu(bf16_points[train_best], train_gflop_per_sample)
             _log(
                 f"train best point {train_best}: {bf16_points[train_best]:.0f} "
                 f"samples/s = {train_mfu_pct:.1f}% useful MFU"
             )
     if train_gflop_per_sample_frozen and peak_tflops and "bf16_b256_frozen_bn" in train_sps:
-        train_mfu_pct_frozen = (
-            100.0
-            * train_sps["bf16_b256_frozen_bn"]
-            * train_gflop_per_sample_frozen
-            / 1e3
-        ) / peak_tflops
+        train_mfu_pct_frozen = _train_mfu(
+            train_sps["bf16_b256_frozen_bn"], train_gflop_per_sample_frozen
+        )
         _log(
             f"train frozen-BN point: {train_sps['bf16_b256_frozen_bn']:.0f} "
             f"samples/s = {train_mfu_pct_frozen:.1f}% useful MFU (opt-in knob)"

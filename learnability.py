@@ -425,6 +425,26 @@ def closed_loop_completion(planner, hw, steps=120, seed=0, use_target=False):
     return progress, float(np.mean(lat_devs)) if lat_devs else 0.0
 
 
+def closed_loop_expert_pace(steps=120, seed=0):
+    """Model-free pace baseline for ``closed_loop_completion``: the env's
+    expert autopilot (5 m/s cruise, the reference TaskVehicle's pace) on the
+    SAME step budget. The 198 m straight route is not finishable in 120
+    ticks at sane speeds, so trained-planner completion must be read against
+    this number, not against 1.0 (measured: expert 0.275)."""
+    from autonomous_driving_with_diffusion_model_tpu.driving.fake_env import (
+        FakeDrivingEnv,
+    )
+
+    env = FakeDrivingEnv(image_hw=(8, 8), bev_hw=(8, 8), seed=seed)
+    env.reset()
+    for _ in range(steps):
+        _, _, done, _ = env.step({0: None})
+        if done:
+            break
+    total = np.linalg.norm(env.route[-1] - env.route[0])
+    return float(np.clip((env.pos[0] - env.route[0][0]) / total, 0.0, 1.0))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny CPU smoke")
@@ -566,10 +586,12 @@ def main():
     cl_untrained, dev_untrained = closed_loop_completion(
         untrained, hw, use_target=use_cond
     )
+    cl_expert = closed_loop_expert_pace()
     print(
         f"[learnability] closed-loop completion: trained {cl_trained:.2f} "
         f"(|lat| {dev_trained:.2f} m), untrained {cl_untrained:.2f} "
-        f"(|lat| {dev_untrained:.2f} m)",
+        f"(|lat| {dev_untrained:.2f} m), expert pace {cl_expert:.2f} "
+        f"(step-budget cap, not 1.0)",
         flush=True,
     )
 
@@ -759,6 +781,7 @@ def main():
         "final_lateral_mean_by_class_m": lat_means,
         "closedloop_completion_trained": round(cl_trained, 3),
         "closedloop_completion_untrained": round(cl_untrained, 3),
+        "closedloop_completion_expert_pace": round(cl_expert, 3),
         "closedloop_mean_abs_lat_m_trained": round(dev_trained, 3),
         "closedloop_mean_abs_lat_m_untrained": round(dev_untrained, 3),
         "curved_completion_trained": round(cv_comp_t, 3),

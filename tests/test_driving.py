@@ -124,6 +124,24 @@ def test_interact_agent_closed_loop_fake_env():
     assert env.steps == 5
 
 
+def test_fake_env_expert_progresses_along_route():
+    """Regression: the expert autopilot must track the route FORWARD. The old
+    waypoint scan ("first route point with dist > thresh") re-selected
+    route[0] once the ego passed it by more than the threshold, U-turning the
+    expert back toward the origin (~1 m net progress in 120 ticks instead of
+    the ~55 m a 5 m/s cruise covers)."""
+    env = FakeDrivingEnv(image_hw=(8, 8), bev_hw=(8, 8))
+    env.reset()
+    for _ in range(120):
+        obs, _r, done, _ = env.step({0: None})
+        # the advertised next waypoint never falls behind the ego's progress
+        assert obs["next_waypoint"][0][0] >= env.pos[0] - 4.0
+        if done:
+            break
+    assert env.pos[0] > 40.0  # ~5 m/s cruise for 12 s (old bug: ~1 m)
+    assert abs(env.pos[1]) < 1.0  # stays on the straight +x route
+
+
 def test_interact_agent_with_free_guidance():
     cfg = tiny_cfg("FREE_GUIDANCE")
     env = FakeDrivingEnv(image_hw=(32, 48), bev_hw=(64, 64))

@@ -144,3 +144,17 @@ def test_curved_loop_scripted_expert_completes():
             break
     assert best_s / s[-1] > 0.9, (best_s / s[-1], np.mean(devs))
     assert np.mean(devs) < 2.0, np.mean(devs)
+
+
+def test_expert_pace_baseline_is_step_budget_cap():
+    """closed_loop_expert_pace: the model-free 5 m/s expert covers ~27% of
+    the 198 m straight route in the 120-tick budget — the denominator every
+    closedloop_completion number must be read against. Regression-guards the
+    fake env's monotonic route-progress fix (the old waypoint scan U-turned
+    the expert at ~0.5% completion)."""
+    from learnability import closed_loop_expert_pace
+
+    pace = closed_loop_expert_pace()
+    assert 0.2 < pace < 0.4, pace
+    # more steps -> strictly more progress (no U-turn regression)
+    assert closed_loop_expert_pace(steps=240) > pace + 0.15

@@ -110,7 +110,10 @@ def test_sampler_batch_sharded_over_mesh(rng):
     sharded = np.asarray(
         sample(variables, sharded_in["init"], image=sharded_in["image"])
     )
-    np.testing.assert_allclose(sharded, plain, atol=1e-5)
+    # the sharded inputs trigger a recompile with different fusion/reduction
+    # order (~1e-4 drift on MAGIC_NUM-scaled meters); a sharding bug (row
+    # permutation, missing replication) would show O(1) errors
+    np.testing.assert_allclose(sharded, plain, atol=5e-4)
 
 
 def test_free_guidance_scale_one_equals_cond_path(rng):
