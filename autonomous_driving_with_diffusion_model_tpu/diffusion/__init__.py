@@ -1,3 +1,12 @@
+from .distill import (
+    DistillGrid,
+    DistillState,
+    grid_chain,
+    halve_grid,
+    implied_x0_target,
+    initial_grid,
+    make_distill_step,
+)
 from .guidance import GUIDANCE_LOSSES, make_guidance_fn, target_guidance_loss
 from .sampler import SamplerConfig, make_sampler, sampler_from_cfg
 from .schedule import (
@@ -47,4 +56,11 @@ __all__ = [
     "SamplerConfig",
     "make_sampler",
     "sampler_from_cfg",
+    "DistillGrid",
+    "DistillState",
+    "grid_chain",
+    "halve_grid",
+    "initial_grid",
+    "implied_x0_target",
+    "make_distill_step",
 ]

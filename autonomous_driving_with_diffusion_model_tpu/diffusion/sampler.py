@@ -19,7 +19,7 @@ re-encodes the image inside every scan step (parity audits).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,13 @@ class SamplerConfig(NamedTuple):
     # lax.scan unroll factor: >1 fuses across denoise steps (cuts per-step
     # sequencing overhead at small batch; larger program / compile time)
     unroll: int = 1
+    # explicit denoising grid (strictly-decreasing train-timestep indices),
+    # overriding the diffusers "leading" spacing. prev timesteps are the next
+    # grid entry (terminal: -1 -> final_alpha_cumprod). Used by progressively
+    # distilled students (diffusion/distill.py), whose grids are exact
+    # halvings of the teacher's and not reachable by leading spacing. A tuple
+    # (not array) so SamplerConfig stays hashable.
+    timesteps: Optional[Tuple[int, ...]] = None
 
 
 def _anchor(trajs: jax.Array) -> jax.Array:
@@ -83,7 +90,20 @@ def make_sampler(
     * ``rng``/``noise_seq`` — DDPM step noise; ``noise_seq`` (S, B, H, D)
       overrides rng-generated noise for parity injection.
     """
-    ts_np, prev_np = leading_timesteps(schedule.num_train_timesteps, cfg.num_steps)
+    if cfg.timesteps is not None:
+        ts_np = np.asarray(cfg.timesteps, np.int64)
+        if ts_np.ndim != 1 or len(ts_np) == 0 or np.any(np.diff(ts_np) >= 0):
+            raise ValueError(
+                f"SamplerConfig.timesteps must be strictly decreasing, got {cfg.timesteps}"
+            )
+        if ts_np[0] >= schedule.num_train_timesteps or ts_np[-1] < 0:
+            raise ValueError(
+                f"timesteps out of [0, {schedule.num_train_timesteps}): {cfg.timesteps}"
+            )
+        prev_np = np.concatenate([ts_np[1:], [-1]])
+        cfg = cfg._replace(num_steps=len(ts_np))
+    else:
+        ts_np, prev_np = leading_timesteps(schedule.num_train_timesteps, cfg.num_steps)
     ts = jnp.asarray(ts_np, jnp.int32)
     prev_ts = jnp.asarray(prev_np, jnp.int32)
     use_ddpm = cfg.scheduler == "ddpm"
@@ -238,10 +258,12 @@ def sampler_from_cfg(model, schedule, cfg, *, for_training_eval: bool = False) -
             unroll=int(cfg.TPU.SCAN_UNROLL),
         )
     else:
+        grid = tuple(int(t) for t in cfg.TPU.SAMPLE_TIMESTEPS) or None
         scfg = SamplerConfig(
             guidance=GuidanceType[cfg.GUIDANCE.USE_COND],
             scheduler=cfg.EVAL.SCHEDULER,
             num_steps=cfg.EVAL.SAMPLE_STEPS,
+            timesteps=grid,
             step=StepConfig(
                 prediction_type=cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE,
                 clip_sample=True,

@@ -285,6 +285,11 @@ def create_cfg() -> CfgNode:
     # host loader.
     cfg.TPU.DEVICE_DATA = "auto"
     cfg.TPU.DEVICE_DATA_MAX_BYTES = 512 * 1024 * 1024
+    # Explicit denoising grid (strictly-decreasing train-timestep indices)
+    # overriding EVAL.SAMPLE_STEPS' leading spacing. Set by progressively
+    # distilled checkpoints (distill.py records each stage's grid), whose
+    # halved grids are not reachable by leading spacing. Empty = leading.
+    cfg.TPU.SAMPLE_TIMESTEPS = []
     return cfg
 
 

@@ -469,6 +469,19 @@ def main():
         "learned scorer closed-loop against the analytic ones",
     )
     ap.add_argument(
+        "--distill", action="store_true",
+        help="after the standard eval, progressively distill the trained "
+        "checkpoint (distill.py: DDIM grid halved stage by stage) and "
+        "benchmark the few-step students against the teacher run at the "
+        "same step counts (heldout RMS + both closed loops); writes "
+        "--distill-out",
+    )
+    ap.add_argument("--distill-start", type=int, default=50,
+                    help="teacher grid size the halving chain starts from")
+    ap.add_argument("--distill-iters", type=int, default=400,
+                    help="distillation iterations per stage")
+    ap.add_argument("--distill-out", default="DISTILL.json")
+    ap.add_argument(
         "--bn-mode", default="train", choices=["train", "frozen"],
         help="TPU.BN_MODE for the training run: 'frozen' keeps the encoder's "
         "BatchNorm in eval mode (the fine-tune-a-pretrained-backbone "
@@ -480,6 +493,10 @@ def main():
     if args.learned_scorer and (args.use_cond != "FREE_GUIDANCE" or args.quick):
         ap.error("--learned-scorer requires --use-cond FREE_GUIDANCE without "
                  "--quick (it would otherwise be silently skipped)")
+    if args.distill and args.use_cond == "CLASSIFIER_GUIDANCE":
+        ap.error("--distill rejects CLASSIFIER_GUIDANCE (in-loop gradient "
+                 "guidance has no distillation target; its flagship config "
+                 "already plans in 2 steps — diffusion/distill.py)")
 
     from autonomous_driving_with_diffusion_model_tpu.utils.platform import (
         apply_adm_platform,
@@ -764,6 +781,101 @@ def main():
             flush=True,
         )
 
+    # ---- progressive distillation: few-step students vs the same-step teacher
+    distill_info = {}
+    if args.distill:
+        dworkdir = osp.join(args.workdir, "distill")
+        dopts = [
+            "TRAIN.ROOT", data_root,
+            "TRAIN.BATCH_SIZE", str(batch),
+            "TRAIN.IMAGE_HEIGHT", str(hw[0]),
+            "TRAIN.IMAGE_WIDTH", str(hw[1]),
+            "TRAIN.USE_COND", args.use_cond,
+            "TPU.COMPUTE_DTYPE", "bfloat16",
+        ]
+        if args.use_cond == "FREE_GUIDANCE":
+            dopts += ["GUIDANCE.FREE_SCALE", "7.5"]
+        if quick:
+            dopts += ["MODEL.DIM", "8", "MODEL.PERCEPTION", "tiny"]
+        start = 8 if quick else args.distill_start
+        iters = 6 if quick else args.distill_iters
+        cmd = [
+            sys.executable, "distill.py", "--checkpoint", ckpt,
+            "--workdir", dworkdir, "--start-steps", str(start),
+            "--stages", "6", "--iters", str(iters), "--opts", *dopts,
+        ]
+        print(f"[learnability] distilling: {' '.join(cmd)}", flush=True)
+        t0d = time.time()
+        subprocess.run(cmd, check=True, cwd=osp.dirname(osp.abspath(__file__)))
+        with open(osp.join(dworkdir, "distill.json")) as f:
+            dmanifest = json.load(f)
+
+        def eval_point(planner):
+            rms, _, _ = heldout_l2_m(planner, heldout, hw, use_cond)
+            comp, dev = closed_loop_completion(planner, hw, use_target=use_cond)
+            cvc, cvd = closed_loop_curved(
+                planner, hw, max_steps=cv_steps, use_target=use_cond
+            )
+            return {
+                "heldout_rms_m": round(rms, 4),
+                "completion": round(comp, 3),
+                "mean_abs_lat_m": round(dev, 3),
+                "curved_completion": round(cvc, 3),
+                "curved_mean_dev_m": round(cvd, 3),
+            }
+
+        eval_ks = (4, 2, 1)
+        students, teacher_at = {}, {}
+        cfg_t0 = make_cfg()
+        cfg_t0.EVAL.SAMPLE_STEPS = start
+        teacher_at[str(start)] = eval_point(DiffusionPlanner(cfg_t0, checkpoint=ckpt))
+        print(
+            f"[learnability] distill teacher @{start}: {teacher_at[str(start)]}",
+            flush=True,
+        )
+        for stage in dmanifest["stages"]:
+            k = stage["num_steps"]
+            if k not in eval_ks:
+                continue
+            cfg_s = make_cfg(SAMPLE_TIMESTEPS=stage["timesteps"])
+            students[str(k)] = eval_point(
+                DiffusionPlanner(cfg_s, checkpoint=stage["checkpoint"])
+            )
+            cfg_t = make_cfg()
+            cfg_t.EVAL.SAMPLE_STEPS = k
+            teacher_at[str(k)] = eval_point(DiffusionPlanner(cfg_t, checkpoint=ckpt))
+            print(
+                f"[learnability] distill @{k}-step: student {students[str(k)]} "
+                f"vs teacher-leading {teacher_at[str(k)]}",
+                flush=True,
+            )
+        measured = [k for k in map(str, eval_ks) if k in students]
+        distill_info = {
+            "start_steps": start,
+            "iters_per_stage": iters,
+            "stage_steps": [s["num_steps"] for s in dmanifest["stages"]],
+            "grids": {str(s["num_steps"]): s["timesteps"] for s in dmanifest["stages"]},
+            "teacher": teacher_at,
+            "students": students,
+            "seconds": round(time.time() - t0d, 1),
+            # the distillation claim: at every measured step count the student
+            # beats the teacher naively run at that count, and the 4-step
+            # student holds the teacher's full-grid closed-loop completion
+            "pass": bool(quick) or bool(
+                measured
+                and all(
+                    students[k]["heldout_rms_m"] < teacher_at[k]["heldout_rms_m"]
+                    for k in measured
+                )
+                and students.get("4", {}).get("completion", 0.0)
+                >= teacher_at[str(start)]["completion"] - 0.05
+            ),
+        }
+        with open(args.distill_out, "w") as f:
+            json.dump(distill_info, f, indent=2)
+            f.write("\n")
+        print(f"[learnability] distill: {json.dumps(distill_info)}", flush=True)
+
     result = {
         "quick": quick,
         "use_cond": args.use_cond,
@@ -791,6 +903,7 @@ def main():
         "k8_scorer_closedloop": scorer_cl,
         "learned_scorer": learned_scorer_info,
         "controllability": controllability,
+        "distill": distill_info,
         "pass": bool(
             l2_trained < 1.5
             and l2_trained < 0.5 * l2_untrained
