@@ -20,6 +20,9 @@ Extras:
   published operating point, README.md:233-245: per-step jax.grad through the
   state head in-scan — reference control/guidance.py:35-59);
 - inpainting DDIM-50 plan latency (RePaint blend, scheduler/inpainting_*.py);
+- distilled 4-step-grid plan latency (``distill4_bf16`` in-loop: the
+  deployment operating point of a ``distill.py`` student — quality side in
+  DISTILL.json);
 - train-step sweep: samples/s/chip fwd+bwd+EMA at batch 8/64/128/256 (+256
   with TPU.REMAT), fp32 and bf16-compute (reference envelope:
   train.py:221-325), plus useful-FLOP accounting -> ``train_mfu_pct_useful``
@@ -343,6 +346,25 @@ def main():
     p50_inp50 = chained_ms(plan_inp, variables, init1, img, target_traj, target_mask)
     _log(f"inpaint-50 bf16 device = {p50_inp50:.2f} ms")
 
+    # ---- distilled 4-step student grid (diffusion/distill.py halving chain
+    # 50 -> 25 -> 13 -> 7 -> 4) through the bone-stock sampler: the
+    # deployment latency of a distilled planner. Latency depends only on the
+    # program shape, not the weights; the quality side is DISTILL.json.
+    sample_d4 = None
+    try:
+        from autonomous_driving_with_diffusion_model_tpu.diffusion.distill import (
+            grid_chain,
+        )
+
+        grids = grid_chain(schedule.num_train_timesteps, 50, 6)
+        four = next(g for g in grids if len(g.ts) == 4)
+        cfg_d4 = create_cfg()
+        cfg_d4.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg_d4.TPU.SAMPLE_TIMESTEPS = [int(t) for t in four.ts]
+        sample_d4 = jax.jit(sampler_from_cfg(model16, schedule, cfg_d4))
+    except Exception as exc:
+        _log(f"distill4 sampler unavailable: {type(exc).__name__}: {exc}")
+
     # ---- machine-checked FLOP accounting + MFU at the bf16 batch-256
     # operating point (fixes the round-2 "~4.2 GFLOP" DESIGN.md error).
     # XLA's cost_analysis counts a lax.scan body ONCE regardless of trip
@@ -401,7 +423,7 @@ def main():
     # ---- in-loop (single-dispatch) device latencies for every closed-loop
     # operating point: the honest per-plan device times (see inloop_ms)
     inloop = {"ddim50_bf16": p50_bf16}  # measured in-loop at the unroll pick
-    for tag, call3, init_, n in (
+    inloop_points = [
         ("ddim50_fp32", lambda v, x, im: sample(v, x, image=im), init1, 16),
         # strict mode re-encodes inside every denoise step; in-loop this
         # quantifies how much of that XLA's loop-invariant code motion
@@ -419,7 +441,13 @@ def main():
          lambda v, x, im: sample_inp(v, x, image=im, rng=jax.random.PRNGKey(0),
                                      target_traj=target_traj,
                                      target_mask=target_mask), init1, 16),
-    ):
+    ]
+    if sample_d4 is not None:
+        inloop_points.append(
+            ("distill4_bf16",
+             lambda v, x, im: sample_d4(v, x, image=im), init1, 32)
+        )
+    for tag, call3, init_, n in inloop_points:
         vset = variables_f if tag.startswith("cfg") else (
             variables_c if tag.startswith("classifier") else variables
         )
