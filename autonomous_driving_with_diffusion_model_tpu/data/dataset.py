@@ -270,3 +270,30 @@ def get_loader(
         shard_index=shard_index,
         shard_count=shard_count,
     )
+
+
+def maybe_device_resident(loader: Loader, cfg):
+    """Apply the ``cfg.TPU.DEVICE_DATA`` policy to a loader.
+
+    ``off`` -> unchanged; ``on``/``true`` -> always wrap; ``auto`` -> wrap
+    when the ACTUAL decoded dataset fits ``TPU.DEVICE_DATA_MAX_BYTES`` (the
+    on-disk PNG resolution decides, not cfg.TRAIN.IMAGE_*). Multi-host
+    processes are left unchanged: each host's shard indexing is the wrapped
+    Loader's transport-level detail, and per-host HBM budgets differ.
+    Shared by train.py and distill.py."""
+    device_data = str(cfg.TPU.DEVICE_DATA).lower()
+    if device_data == "off":
+        return loader
+    try:
+        import jax
+
+        if jax.process_count() != 1:
+            return loader
+    except Exception:
+        pass
+    ds_bytes = len(loader.dataset) * loader.dataset[0]["image"].nbytes
+    if device_data in ("on", "true") or (
+        device_data == "auto" and ds_bytes <= int(cfg.TPU.DEVICE_DATA_MAX_BYTES)
+    ):
+        return DeviceResidentLoader(loader)
+    return loader

@@ -34,11 +34,15 @@ DDIM step what the teacher does in TWO:
   re-estimate BN statistics from tiny distillation batches.
 
 FREE_GUIDANCE models distill the w-GUIDED teacher (uncond + w*(cond-uncond),
-Meng et al. 2023 "On Distillation of Guided Diffusion Models"): the student
-bakes the guidance scale in and is sampled conditionally (free_scale=1
-recovers plain conditional output). CLASSIFIER_GUIDANCE is rejected: its
-flagship config already plans in 2 steps and its in-loop gradient guidance
-has no distillation target.
+Meng et al. 2023 "On Distillation of Guided Diffusion Models"): the
+teacher's two substeps run the CFG combination at ``free_scale``, while the
+STUDENT forward is a single conditional pass — the guidance scale is baked
+into the student's weights. Deploy students with ``GUIDANCE.FREE_SCALE 1.0``
+(u + 1*(c-u) == c; the sampler statically skips the uncond pass at
+free_scale=1, so the deployed student really does one forward per step —
+Meng et al.'s latency point). CLASSIFIER_GUIDANCE is rejected: its flagship
+config already plans in 2 steps and its in-loop gradient guidance has no
+distillation target.
 """
 
 from __future__ import annotations
@@ -174,13 +178,12 @@ def make_distill_step(
             "CLASSIFIER_GUIDANCE has no distillation target (in-loop gradient "
             "guidance); its flagship config already plans in 2 steps"
         )
-    tx = optax.adamw(
-        learning_rate=lambda step: lr * jnp.minimum(step / max(warmup, 1), 1.0),
-        b1=0.95,
-        b2=0.999,
-        eps=1e-7,
-        weight_decay=0.01,
-    )
+    # the reference's AdamW contract, shared with training (train/state.py);
+    # lazy import: diffusion/__init__ imports this module, train.state
+    # imports diffusion.schedule — a top-level import would cycle
+    from ..train.state import make_optimizer
+
+    tx = make_optimizer(lr, warmup)
     ts = jnp.asarray(grid.ts, jnp.int32)
     mids = jnp.asarray(grid.mids, jnp.int32)
     prevs = jnp.asarray(grid.prev, jnp.int32)
@@ -199,9 +202,9 @@ def make_distill_step(
             step=jnp.asarray(0, jnp.int32),
         )
 
-    def _fwd(variables, x, feat, t, cond):
-        """One x0-prediction forward; FREE_GUIDANCE applies the w-guided
-        combination (interact.py:133-144) so the distilled student bakes w."""
+    def _fwd_teacher(variables, x, feat, t, cond):
+        """One teacher x0-prediction; FREE_GUIDANCE applies the w-guided
+        combination (interact.py:133-144) — the map the student must match."""
         t_f = t.astype(jnp.float32)
         if guided:
             out_c = model.apply(variables, x, time=t_f, cond=cond, img_feature=feat)
@@ -209,6 +212,18 @@ def make_distill_step(
                 variables, x, time=t_f, cond=jnp.zeros_like(cond), img_feature=feat
             )
             return (out_u + free_scale * (out_c - out_u)).astype(jnp.float32)
+        return model.apply(variables, x, time=t_f, img_feature=feat).astype(jnp.float32)
+
+    def _fwd_student(variables, x, feat, t, cond):
+        """One student forward: a SINGLE conditional pass even under
+        FREE_GUIDANCE — the guidance scale bakes into the weights (Meng et
+        al. 2023), so the deployed student skips the uncond pass
+        (GUIDANCE.FREE_SCALE=1)."""
+        t_f = t.astype(jnp.float32)
+        if guided:
+            return model.apply(
+                variables, x, time=t_f, cond=cond, img_feature=feat
+            ).astype(jnp.float32)
         return model.apply(variables, x, time=t_f, img_feature=feat).astype(jnp.float32)
 
     _step_b = jax.vmap(
@@ -233,9 +248,9 @@ def make_distill_step(
         tfeat = model.apply(
             teacher_variables, image, train=False, method=TemporalMapUnet.encode_image
         )
-        out1 = _fwd(teacher_variables, x_t, tfeat, t, cond)
+        out1 = _fwd_teacher(teacher_variables, x_t, tfeat, t, cond)
         x_m = _anchor(_step_b(out1, t, m_safe, x_t))
-        out2 = _fwd(teacher_variables, x_m, tfeat, m_safe, cond)
+        out2 = _fwd_teacher(teacher_variables, x_m, tfeat, m_safe, cond)
         x_s_two = _step_b(out2, m_safe, s, x_m)
         x_s_one = _step_b(out1, t, s, x_t)
         x_s = _anchor(jnp.where(sgl[:, None, None], x_s_one, x_s_two))
@@ -246,7 +261,7 @@ def make_distill_step(
         # ---- student: one forward (frozen BN, deterministic)
         svars = {"params": params, "batch_stats": batch_stats}
         sfeat = model.apply(svars, image, train=False, method=TemporalMapUnet.encode_image)
-        pred = _fwd(svars, x_t, sfeat, t, cond)
+        pred = _fwd_student(svars, x_t, sfeat, t, cond)
 
         err2 = (pred - z) ** 2
         if snr_weight:

@@ -142,12 +142,36 @@ def make_sampler(
             )
 
         cfg_target = None
-        if cfg.guidance == GuidanceType.FREE_GUIDANCE and target is not None:
+        if (
+            cfg.guidance == GuidanceType.FREE_GUIDANCE
+            and target is not None
+            and cfg.free_scale != 1.0
+        ):
             # dual batch: [target; zeros] (reference: interact.py:119-127)
             cfg_target = jnp.concatenate([target, jnp.zeros_like(target)], axis=0)
 
         def model_fwd(trajs, t):
             t_b = jnp.full((B,), t, jnp.float32)
+            if (
+                cfg.guidance == GuidanceType.FREE_GUIDANCE
+                and target is not None
+                and cfg.free_scale == 1.0
+            ):
+                # u + 1*(c - u) == c: statically skip the uncond pass — one
+                # forward per step. This is the deployed operating point of
+                # CFG-distilled students (diffusion/distill.py bakes w in).
+                if cfg.hoist_perception:
+                    return (
+                        model.apply(
+                            variables, trajs, time=t_b, cond=target,
+                            img_feature=img_feature,
+                        ),
+                        None,
+                    )
+                return (
+                    model.apply(variables, trajs, img=image, time=t_b, cond=target),
+                    None,
+                )
             if cfg.guidance == GuidanceType.FREE_GUIDANCE and cfg_target is not None:
                 x2 = jnp.concatenate([trajs, trajs], axis=0)
                 if cfg.hoist_perception:

@@ -73,7 +73,7 @@ class DiffusionPlanner:
 
         from ..data.augment import normalize_images
         from ..diffusion import make_schedule_from_cfg, sampler_from_cfg
-        from ..models import build_model, load_torch_checkpoint
+        from ..models import build_model
 
         self.cfg = cfg
         self.use_guidance_type = GuidanceType[cfg.GUIDANCE.USE_COND]
@@ -82,37 +82,11 @@ class DiffusionPlanner:
 
         ckpt_path = checkpoint or cfg.EVAL.CHECKPOINT
         if ckpt_path:
-            if str(ckpt_path).endswith(".pth"):
-                # state_dict + EMA shadow overwrite (interact.py:102-108)
-                self.variables = load_torch_checkpoint(ckpt_path, cfg, use_ema=True)
-            else:
-                # native Orbax TrainState dir: params <- EMA shadow (the same
-                # eval-time EMA-overwrite semantics as the torch path)
-                from ..train import create_train_state, restore_orbax
+            # .pth state_dict + EMA shadow overwrite (interact.py:102-108),
+            # or a native Orbax TrainState dir with the same EMA semantics
+            from ..train import load_eval_variables
 
-                rng0 = np.random.default_rng(0)
-                x0 = jnp.asarray(
-                    rng0.standard_normal((1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)),
-                    jnp.float32,
-                )
-                img0 = jnp.asarray(
-                    rng0.standard_normal(
-                        (1, cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH, 3)
-                    ),
-                    jnp.float32,
-                )
-                abstract = self.model.init(
-                    jax.random.PRNGKey(0), x0, img=img0, time=jnp.asarray([1.0])
-                )
-                state = restore_orbax(
-                    str(ckpt_path),
-                    jax.tree.map(np.asarray, create_train_state(self.model, abstract, cfg)),
-                )
-                self.variables = {
-                    "params": state.ema.shadow_params,
-                    "batch_stats": state.batch_stats,
-                }
-            self.variables = jax.tree.map(jnp.asarray, self.variables)
+            self.variables = load_eval_variables(self.model, cfg, str(ckpt_path))
         else:
             rng = np.random.default_rng(seed)
             x = jnp.asarray(rng.standard_normal((1, 16, cfg.MODEL.TRANSITION_DIM)), jnp.float32)

@@ -1,6 +1,7 @@
 from .checkpoint import (
     export_torch_checkpoint,
     import_torch_checkpoint,
+    load_eval_variables,
     restore_orbax,
     save_orbax,
     wait_for_checkpoints,
@@ -23,4 +24,5 @@ __all__ = [
     "restore_orbax",
     "export_torch_checkpoint",
     "import_torch_checkpoint",
+    "load_eval_variables",
 ]

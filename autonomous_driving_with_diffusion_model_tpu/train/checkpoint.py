@@ -28,6 +28,7 @@ __all__ = [
     "wait_for_checkpoints",
     "export_torch_checkpoint",
     "import_torch_checkpoint",
+    "load_eval_variables",
 ]
 
 
@@ -67,6 +68,43 @@ def restore_orbax(path: str, abstract_state: TrainState) -> TrainState:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(osp.abspath(path), abstract_state)
+
+
+def load_eval_variables(model, cfg, path: str) -> Dict[str, Any]:
+    """Checkpoint -> eval ``variables`` with EMA-shadow overwrite.
+
+    The shared eval-time loading semantics (reference: interact.py:102-108
+    loads the state_dict then overwrites with the EMA shadow): torch ``.pth``
+    via the bit-compatible importer, anything else as a native Orbax
+    TrainState dir whose ``params`` are replaced by ``ema.shadow_params``.
+    Used by the closed-loop planner (driving/plan.py) and the distillation
+    CLI's teacher load (distill.py)."""
+    from ..models.torch_convert import load_torch_checkpoint
+    from .state import create_train_state
+
+    if str(path).endswith(".pth"):
+        variables = load_torch_checkpoint(path, cfg, use_ema=True)
+    else:
+        rng0 = np.random.default_rng(0)
+        x0 = jnp.asarray(
+            rng0.standard_normal((1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)),
+            jnp.float32,
+        )
+        img0 = jnp.asarray(
+            rng0.standard_normal((1, cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH, 3)),
+            jnp.float32,
+        )
+        abstract = model.init(
+            jax.random.PRNGKey(0), x0, img=img0, time=jnp.asarray([1.0])
+        )
+        state = restore_orbax(
+            str(path), jax.tree.map(np.asarray, create_train_state(model, abstract, cfg))
+        )
+        variables = {
+            "params": state.ema.shadow_params,
+            "batch_stats": state.batch_stats,
+        }
+    return jax.tree.map(jnp.asarray, variables)
 
 
 # ------------------------------------------------------------ torch format

@@ -52,9 +52,11 @@ def make_lr_schedule(base_lr: float, warmup_steps: int):
     return schedule
 
 
-def make_optimizer(cfg):
+def make_optimizer(lr: float, warmup_steps: int):
+    """The reference's AdamW contract (train.py:170-174) — the single source
+    of these hyperparameters; distillation fine-tuning reuses it too."""
     return optax.adamw(
-        learning_rate=make_lr_schedule(cfg.TRAIN.LR, cfg.TRAIN.LR_WARMUP),
+        learning_rate=make_lr_schedule(lr, warmup_steps),
         b1=0.95,
         b2=0.999,
         eps=1e-7,
@@ -65,7 +67,7 @@ def make_optimizer(cfg):
 def create_train_state(model: TemporalMapUnet, variables, cfg) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg.TRAIN.LR, cfg.TRAIN.LR_WARMUP)
     ema_cfg = EmaConfig(
         decay=cfg.TRAIN.EMA_MAX_DECAY,
         update_after_step=5000,
@@ -97,7 +99,7 @@ def make_train_step(model: TemporalMapUnet, schedule: DiffusionSchedule, cfg):
     Shard the batch's leading dim over the mesh and pass replicated state —
     jit partitions the rest.
     """
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg.TRAIN.LR, cfg.TRAIN.LR_WARMUP)
     use_cond = GuidanceType[cfg.TRAIN.USE_COND]
     pred_type = cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE
     time_steps = cfg.TRAIN.TIME_STEPS

@@ -58,18 +58,20 @@ def main():
         get_loader,
         normalize_images,
     )
+    from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
+        maybe_device_resident,
+    )
     from autonomous_driving_with_diffusion_model_tpu.diffusion import (
+        StepConfig,
         grid_chain,
         make_distill_step,
         make_schedule_from_cfg,
     )
-    from autonomous_driving_with_diffusion_model_tpu.models import (
-        build_model,
-        load_torch_checkpoint,
-    )
+    from autonomous_driving_with_diffusion_model_tpu.models import build_model
     from autonomous_driving_with_diffusion_model_tpu.train import (
         create_train_state,
         export_torch_checkpoint,
+        load_eval_variables,
     )
     from autonomous_driving_with_diffusion_model_tpu.train.ema import EmaState
     from autonomous_driving_with_diffusion_model_tpu.utils import (
@@ -90,43 +92,13 @@ def main():
     use_cond = GuidanceType[cfg.TRAIN.USE_COND]
 
     # ---- teacher variables (EMA-overwrite eval semantics, like the planner)
-    if str(args.checkpoint).endswith(".pth"):
-        teacher = load_torch_checkpoint(args.checkpoint, cfg, use_ema=True)
-    else:
-        from autonomous_driving_with_diffusion_model_tpu.train import restore_orbax
-
-        rng0 = np.random.default_rng(0)
-        x0 = jnp.asarray(
-            rng0.standard_normal((1, cfg.MODEL.HORIZON, cfg.MODEL.TRANSITION_DIM)),
-            jnp.float32,
-        )
-        img0 = jnp.asarray(
-            rng0.standard_normal((1, cfg.TRAIN.IMAGE_HEIGHT, cfg.TRAIN.IMAGE_WIDTH, 3)),
-            jnp.float32,
-        )
-        abstract = model.init(jax.random.PRNGKey(0), x0, img=img0, time=jnp.asarray([1.0]))
-        state0 = restore_orbax(
-            str(args.checkpoint),
-            jax.tree.map(np.asarray, create_train_state(model, abstract, cfg)),
-        )
-        teacher = {"params": state0.ema.shadow_params, "batch_stats": state0.batch_stats}
-    teacher = jax.tree.map(jnp.asarray, teacher)
+    teacher = load_eval_variables(model, cfg, str(args.checkpoint))
     batch_stats = teacher.get("batch_stats", {})
 
     # ---- data (no augmentation: the student regresses the teacher's map on
     # clean frames; normalization fused on device like the planner)
     loader = get_loader(cfg, train=True, seed=args.seed, shard_index=0, shard_count=1)
-    device_data = str(cfg.TPU.DEVICE_DATA).lower()
-    if device_data != "off":
-        ds_bytes = len(loader.dataset) * loader.dataset[0]["image"].nbytes
-        if device_data in ("on", "true") or (
-            device_data == "auto" and ds_bytes <= int(cfg.TPU.DEVICE_DATA_MAX_BYTES)
-        ):
-            from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
-                DeviceResidentLoader,
-            )
-
-            loader = DeviceResidentLoader(loader)
+    loader = maybe_device_resident(loader, cfg)
     normalize = jax.jit(normalize_images)
 
     start_steps = args.start_steps or int(cfg.EVAL.SAMPLE_STEPS)
@@ -166,6 +138,13 @@ def main():
             g,
             use_cond=use_cond,
             free_scale=float(cfg.GUIDANCE.FREE_SCALE),
+            # the config's prediction type, NOT a hardcoded default: an
+            # epsilon-trained teacher must hit the x0-only guard, not be
+            # silently distilled with sample-prediction math
+            step_cfg=StepConfig(
+                prediction_type=cfg.TRAIN.NOISE_SCHEDULER.PRED_TYPE,
+                clip_sample=True,
+            ),
             lr=args.lr,
             warmup=args.warmup,
             snr_weight=args.snr_weight,
@@ -173,7 +152,7 @@ def main():
         jit_step = jax.jit(step, donate_argnums=(0,))
         state = init_state(teacher["params"])
         root = jax.random.PRNGKey(args.seed)
-        loss = float("nan")
+        metrics = None
         for it in range(args.iters):
             batch = next_batch()
             device_batch = {
@@ -185,12 +164,14 @@ def main():
                 state, teacher, batch_stats, device_batch, jax.random.fold_in(root, it)
             )
             if (it + 1) % max(1, args.iters // 5) == 0:
-                loss = float(metrics["loss"])
                 print(
                     f"[distill] {n_steps}-step stage iter {it + 1}/{args.iters} "
-                    f"loss {loss:.5f}",
+                    f"loss {float(metrics['loss']):.5f}",
                     flush=True,
                 )
+        # the manifest's final_loss is the LAST iteration's, not the last
+        # logged one (log interval need not divide --iters)
+        loss = float(metrics["loss"]) if metrics is not None else float("nan")
 
         # student -> reference-format .pth (EMA shadow = student params, so
         # the planner's EMA-overwrite load gets the distilled weights)
@@ -227,10 +208,16 @@ def main():
     with open(osp.join(args.workdir, "distill.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"[distill] manifest: {osp.join(args.workdir, 'distill.json')}", flush=True)
+    # CFG students have the guidance scale BAKED IN (diffusion/distill.py):
+    # deploy them at FREE_SCALE 1.0, where the sampler statically skips the
+    # uncond pass — one forward per step
+    baked = (
+        " GUIDANCE.FREE_SCALE 1.0" if use_cond == GuidanceType.FREE_GUIDANCE else ""
+    )
     for s in manifest["stages"]:
         print(
             f"[distill] deploy {s['num_steps']}-step: --opts EVAL.CHECKPOINT "
-            f"{s['checkpoint']} TPU.SAMPLE_TIMESTEPS \"{s['timesteps']}\"",
+            f"{s['checkpoint']} TPU.SAMPLE_TIMESTEPS \"{s['timesteps']}\"{baked}",
             flush=True,
         )
 

@@ -838,6 +838,11 @@ def main():
             if k not in eval_ks:
                 continue
             cfg_s = make_cfg(SAMPLE_TIMESTEPS=stage["timesteps"])
+            if args.use_cond == "FREE_GUIDANCE":
+                # CFG students bake the guidance scale in (diffusion/
+                # distill.py): deploy at FREE_SCALE 1.0, where the sampler
+                # statically runs one forward per step
+                cfg_s.GUIDANCE.FREE_SCALE = 1.0
             students[str(k)] = eval_point(
                 DiffusionPlanner(cfg_s, checkpoint=stage["checkpoint"])
             )

@@ -185,6 +185,88 @@ def test_distill_step_decreases_loss(use_cond):
     assert int(state.step) == 25
 
 
+def test_cfg_free_scale_one_skips_uncond_pass():
+    """free_scale=1.0 statically reduces CFG to the conditional forward
+    (u + 1*(c-u) == c): the sampler output matches a manual cond-only DDIM
+    loop to compiler-fusion tolerance (the fused scan program and the eager
+    per-step loop schedule float ops differently) — the deployed operating
+    point of CFG-distilled students."""
+    from autonomous_driving_with_diffusion_model_tpu.diffusion.sampler import _anchor
+    from autonomous_driving_with_diffusion_model_tpu.models.temporal_unet import (
+        TemporalMapUnet,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.utils.constants import MAGIC_NUM
+
+    cfg = tiny_cfg("FREE_GUIDANCE")
+    rng = np.random.default_rng(7)
+    model, variables = _init_model(cfg, rng)
+    schedule = make_schedule(num_train_timesteps=100)
+    x = jnp.asarray(rng.standard_normal((2, 16, 7)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((2, 32, 48, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, 2)), jnp.float32)
+    scfg = SamplerConfig(
+        guidance=GuidanceType.FREE_GUIDANCE,
+        scheduler="ddim",
+        num_steps=4,
+        free_scale=1.0,
+    )
+    out = make_sampler(model, schedule, scfg)(variables, x, image=img, target=tgt)
+
+    feat = model.apply(variables, img, train=False, method=TemporalMapUnet.encode_image)
+    ts, prev = leading_timesteps(100, 4)
+    trajs = _anchor(x)
+    for t, p in zip(ts, prev):
+        t_b = jnp.full((2,), t, jnp.float32)
+        mo = model.apply(variables, trajs, time=t_b, cond=tgt, img_feature=feat)
+        trajs, _ = ddim_step(
+            schedule, scfg.step, mo,
+            jnp.asarray(t, jnp.int32), jnp.asarray(p, jnp.int32), trajs,
+        )
+        trajs = _anchor(trajs)
+    manual = jnp.clip(trajs, -1.0, 1.0).at[..., :2].multiply(MAGIC_NUM)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(manual), atol=1e-3, rtol=1e-4
+    )
+
+
+def test_cfg_distill_student_is_single_conditional_pass():
+    """Under FREE_GUIDANCE the teacher runs the w-guided dual combination
+    (2 forwards per substep) but the STUDENT is a single conditional forward
+    — the guidance scale bakes into the weights (Meng et al. 2023; deploy at
+    GUIDANCE.FREE_SCALE=1). Pins the forward counts of one loss evaluation."""
+    schedule = make_schedule(num_train_timesteps=100)
+    grid = grid_chain(100, 8, 1)[0]
+
+    class _Rec:
+        def __init__(self):
+            self.fwd_calls = 0
+            self.encode_calls = 0
+
+        def apply(self, variables, x, *a, method=None, **k):
+            if method is not None:  # encode_image
+                self.encode_calls += 1
+                return jnp.zeros((x.shape[0], 4))
+            self.fwd_calls += 1
+            return jnp.full(x.shape, 0.2, jnp.float32)
+
+    rec = _Rec()
+    init_state, step = make_distill_step(
+        rec, schedule, grid, use_cond=GuidanceType.FREE_GUIDANCE,
+        free_scale=3.0, lr=0.0,
+    )
+    rng = np.random.default_rng(8)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((4, 8, 8, 3)), jnp.float32),
+        "trajs": jnp.asarray(rng.uniform(-0.5, 0.5, (4, 16, 7)), jnp.float32),
+        "target": jnp.asarray(rng.standard_normal((4, 2)), jnp.float32),
+    }
+    state = init_state({})
+    step(state, {}, {}, batch, jax.random.PRNGKey(0))
+    # teacher: 2 substeps x (cond + uncond) = 4; student: 1 conditional
+    assert rec.fwd_calls == 5, rec.fwd_calls
+    assert rec.encode_calls == 2, rec.encode_calls
+
+
 def test_distill_rejects_classifier_guidance():
     schedule = make_schedule(num_train_timesteps=100)
     with pytest.raises(ValueError, match="CLASSIFIER_GUIDANCE"):
@@ -278,7 +360,9 @@ def test_distill_cli_end_to_end(tmp_path):
             "--opts", *opts,
         ],
         capture_output=True, text=True, timeout=600,
-        env={"ADM_PLATFORM": "cpu", **__import__("os").environ},
+        # overrides AFTER the inherited env (an exported ADM_PLATFORM must
+        # not undo the CPU pin and drag pytest onto the TPU relay)
+        env={**__import__("os").environ, "ADM_PLATFORM": "cpu"},
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-3000:]

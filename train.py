@@ -196,23 +196,17 @@ def main(args):
         cfg, train=True,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
     )
-    device_data = str(cfg.TPU.DEVICE_DATA).lower()
-    if device_data != "off" and jax.process_count() == 1:
-        # gate on the ACTUAL decoded frame size (the dataset yields PNGs at
-        # on-disk resolution; cfg.TRAIN.IMAGE_* is not enforced to match)
-        ds_bytes = len(loader.dataset) * loader.dataset[0]["image"].nbytes
-        if device_data in ("on", "true") or (
-            device_data == "auto" and ds_bytes <= int(cfg.TPU.DEVICE_DATA_MAX_BYTES)
-        ):
-            from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
-                DeviceResidentLoader,
-            )
+    from autonomous_driving_with_diffusion_model_tpu.data.dataset import (
+        DeviceResidentLoader,
+        maybe_device_resident,
+    )
 
-            loader = DeviceResidentLoader(loader)
-            logging.info(
-                "Device-resident dataset: %d samples, %.1f MB uploaded once",
-                len(loader.dataset), loader.nbytes() / 1e6,
-            )
+    loader = maybe_device_resident(loader, cfg)
+    if isinstance(loader, DeviceResidentLoader):
+        logging.info(
+            "Device-resident dataset: %d samples, %.1f MB uploaded once",
+            len(loader.dataset), loader.nbytes() / 1e6,
+        )
     use_augment = cfg.TRAIN.USE_IMG_AUGMENTOR
     augment = jax.jit(augment_batch) if use_augment else None
 
