@@ -350,7 +350,7 @@ def main():
     # 50 -> 25 -> 13 -> 7 -> 4) through the bone-stock sampler: the
     # deployment latency of a distilled planner. Latency depends only on the
     # program shape, not the weights; the quality side is DISTILL.json.
-    sample_d4 = None
+    sample_d4 = sample_cfg_d4 = None
     try:
         from autonomous_driving_with_diffusion_model_tpu.diffusion.distill import (
             grid_chain,
@@ -362,6 +362,15 @@ def main():
         cfg_d4.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg_d4.TPU.SAMPLE_TIMESTEPS = [int(t) for t in four.ts]
         sample_d4 = jax.jit(sampler_from_cfg(model16, schedule, cfg_d4))
+        # CFG student with the guidance scale BAKED IN (diffusion/distill.py):
+        # deployed at FREE_SCALE=1.0 the sampler statically skips the uncond
+        # pass — 4 single forwards + one encode, the fastest guided plan
+        cfg_cd4 = create_cfg()
+        merge_possible_with_base(cfg_cd4, "configs/guidance/free_guidance.yaml")
+        cfg_cd4.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg_cd4.TPU.SAMPLE_TIMESTEPS = [int(t) for t in four.ts]
+        cfg_cd4.GUIDANCE.FREE_SCALE = 1.0
+        sample_cfg_d4 = jax.jit(sampler_from_cfg(model_f, schedule_f, cfg_cd4))
     except Exception as exc:
         _log(f"distill4 sampler unavailable: {type(exc).__name__}: {exc}")
 
@@ -446,6 +455,12 @@ def main():
         inloop_points.append(
             ("distill4_bf16",
              lambda v, x, im: sample_d4(v, x, image=im), init1, 32)
+        )
+    if sample_cfg_d4 is not None:
+        inloop_points.append(
+            ("cfg_distill4_bf16",
+             lambda v, x, im: sample_cfg_d4(v, x, image=im, target=target),
+             init1, 32)
         )
     for tag, call3, init_, n in inloop_points:
         vset = variables_f if tag.startswith("cfg") else (
