@@ -7,6 +7,7 @@ from .distill import (
     initial_grid,
     make_distill_step,
 )
+from .dpm import DPMCoeffs, dpm_coeffs, dpm_pp_2m_update, dpm_timesteps
 from .guidance import GUIDANCE_LOSSES, make_guidance_fn, target_guidance_loss
 from .sampler import SamplerConfig, make_sampler, sampler_from_cfg
 from .schedule import (
@@ -29,8 +30,12 @@ from .steps import (
 )
 
 # scheduler registry (reference: scheduler/__init__.py + the SCHEDULER_FUNC
-# maps at interact.py:22-25 / diffusion_agent.py:29-32)
-SCHEDULER_FUNC = {"ddpm": ddpm_step, "ddim": ddim_step}
+# maps at interact.py:22-25 / diffusion_agent.py:29-32). The reference also
+# configures a "dpm" scheduler (interact.py:92-93) that its map lacks — a dead
+# KeyError there; here EVAL.SCHEDULER="dpm" is a real DPM-Solver++(2M) path
+# (diffusion/dpm.py), dispatched inside make_sampler because its multistep
+# update carries x0 history and does not fit the single-step signature.
+SCHEDULER_FUNC = {"ddpm": ddpm_step, "ddim": ddim_step, "dpm": dpm_pp_2m_update}
 INPAINTING_SCHEDULER_FUNC = {"ddpm": inpaint_blend_ddpm, "ddim": inpaint_blend_ddim}
 
 __all__ = [
@@ -43,6 +48,10 @@ __all__ = [
     "leading_timesteps",
     "add_noise",
     "StepConfig",
+    "DPMCoeffs",
+    "dpm_timesteps",
+    "dpm_coeffs",
+    "dpm_pp_2m_update",
     "ddpm_step",
     "ddim_step",
     "ddpm_variance",

@@ -27,16 +27,19 @@ import numpy as np
 
 from ..models.temporal_unet import TemporalMapUnet
 from ..utils.constants import ANCHOR_DIMS, MAGIC_NUM, GuidanceType
+from .dpm import dpm_coeffs, dpm_pp_2m_update, dpm_timesteps
 from .guidance import make_guidance_fn
 from .schedule import DiffusionSchedule, leading_timesteps
 from .steps import (
     StepConfig,
+    clip_or_threshold,
     ddim_step,
     ddim_variance,
     ddpm_step,
     ddpm_variance,
     inpaint_blend_ddim,
     inpaint_blend_ddpm,
+    pred_x0_and_eps,
 )
 
 __all__ = ["SamplerConfig", "make_sampler", "sampler_from_cfg"]
@@ -44,7 +47,7 @@ __all__ = ["SamplerConfig", "make_sampler", "sampler_from_cfg"]
 
 class SamplerConfig(NamedTuple):
     guidance: GuidanceType = GuidanceType.NO_GUIDANCE
-    scheduler: str = "ddim"  # "ddim" | "ddpm"
+    scheduler: str = "ddim"  # "ddim" | "ddpm" | "dpm" (DPM-Solver++ 2M, diffusion/dpm.py)
     num_steps: int = 100
     step: StepConfig = StepConfig()
     free_scale: float = 1.0
@@ -67,6 +70,10 @@ class SamplerConfig(NamedTuple):
     # halvings of the teacher's and not reachable by leading spacing. A tuple
     # (not array) so SamplerConfig stays hashable.
     timesteps: Optional[Tuple[int, ...]] = None
+    # "dpm" only: trim high-noise train timesteps whose half-log-SNR falls
+    # below this before building the grid (the reference's hard-coded -5.1,
+    # interact.py:92-93 — its "dpm" branch is a dead KeyError there).
+    lambda_min_clipped: float = -5.1
 
 
 def _anchor(trajs: jax.Array) -> jax.Array:
@@ -90,6 +97,14 @@ def make_sampler(
     * ``rng``/``noise_seq`` — DDPM step noise; ``noise_seq`` (S, B, H, D)
       overrides rng-generated noise for parity injection.
     """
+    if cfg.scheduler not in ("ddim", "ddpm", "dpm"):
+        raise ValueError(f"unknown scheduler {cfg.scheduler!r} (expected ddim | ddpm | dpm)")
+    use_dpm = cfg.scheduler == "dpm"
+    if use_dpm:
+        if cfg.inpainting:
+            raise ValueError("inpainting is DDPM/DDIM-only (like the reference)")
+        if cfg.step.eta:
+            raise ValueError("the dpm solver is a deterministic ODE solve; eta is unsupported")
     if cfg.timesteps is not None:
         ts_np = np.asarray(cfg.timesteps, np.int64)
         if ts_np.ndim != 1 or len(ts_np) == 0 or np.any(np.diff(ts_np) >= 0):
@@ -102,13 +117,20 @@ def make_sampler(
             )
         prev_np = np.concatenate([ts_np[1:], [-1]])
         cfg = cfg._replace(num_steps=len(ts_np))
+    elif use_dpm:
+        ts_np = dpm_timesteps(schedule, cfg.num_steps, cfg.lambda_min_clipped)
+        prev_np = np.concatenate([ts_np[1:], [-1]])
     else:
         ts_np, prev_np = leading_timesteps(schedule.num_train_timesteps, cfg.num_steps)
     ts = jnp.asarray(ts_np, jnp.int32)
     prev_ts = jnp.asarray(prev_np, jnp.int32)
     use_ddpm = cfg.scheduler == "ddpm"
     step_fn = ddpm_step if use_ddpm else ddim_step
+    # classifier-guidance grad scale under "dpm" uses the eta=0 DDIM variance
+    # (DPM++ shares DDIM's marginals; the solver itself is noise-free)
     var_fn = ddpm_variance if use_ddpm else ddim_variance
+    if use_dpm:
+        coeffs = dpm_coeffs(schedule, ts_np, prev_np)
     if cfg.inpainting:
         if cfg.guidance != GuidanceType.NO_GUIDANCE:
             raise ValueError("inpainting samplers have no guidance hook (like the reference)")
@@ -203,14 +225,8 @@ def make_sampler(
                 return model.apply(variables, trajs, time=t_b, img_feature=img_feature), None
             return model.apply(variables, trajs, img=image, time=t_b), None
 
-        def body(trajs, xs):
-            if needs_noise:
-                t, prev_t, noise = xs
-            else:
-                t, prev_t = xs
-                noise = None
+        def guided_model_output(trajs, t, prev_t):
             model_output, aux = model_fwd(trajs, t)
-
             if cfg.guidance == GuidanceType.CLASSIFIER_GUIDANCE and target is not None:
                 action, time_embed = aux
                 # guidance math (autograd + scaled descent, guidance.py) runs
@@ -230,6 +246,25 @@ def make_sampler(
                     cfg.loss_list, cfg.classifier_scale, cfg.guidance_step, state_pred_fn
                 )
                 model_output = guide_fn(model_output, action, target, grad_scale)
+            return model_output
+
+        def dpm_body(carry, xs):
+            # multistep: carry the previous step's (clipped) x0 prediction
+            trajs, prev_x0 = carry
+            t, prev_t, sigma_ratio, phi, inv_r = xs
+            model_output = guided_model_output(trajs, t, prev_t)
+            pred_x0, _ = pred_x0_and_eps(cfg.step, model_output, trajs, schedule.alpha_prod(t))
+            pred_x0 = clip_or_threshold(cfg.step, pred_x0).astype(jnp.float32)
+            trajs = dpm_pp_2m_update(trajs, pred_x0, prev_x0, sigma_ratio, phi, inv_r)
+            return (_anchor(trajs), pred_x0), None
+
+        def body(trajs, xs):
+            if needs_noise:
+                t, prev_t, noise = xs
+            else:
+                t, prev_t = xs
+                noise = None
+            model_output = guided_model_output(trajs, t, prev_t)
 
             if cfg.inpainting:
                 trajs, _ = blend_fn(
@@ -247,8 +282,15 @@ def make_sampler(
                 trajs, _ = step_fn(schedule, cfg.step, model_output, t, prev_t, trajs, noise)
             return _anchor(trajs), None
 
-        xs = (ts, prev_ts, noise_seq) if needs_noise else (ts, prev_ts)
-        trajs, _ = jax.lax.scan(body, trajs, xs, unroll=cfg.unroll)
+        if use_dpm:
+            trajs = trajs.astype(jnp.float32)
+            xs = (ts, prev_ts, coeffs.sigma_ratio, coeffs.phi, coeffs.inv_r)
+            (trajs, _), _ = jax.lax.scan(
+                dpm_body, (trajs, jnp.zeros_like(trajs)), xs, unroll=cfg.unroll
+            )
+        else:
+            xs = (ts, prev_ts, noise_seq) if needs_noise else (ts, prev_ts)
+            trajs, _ = jax.lax.scan(body, trajs, xs, unroll=cfg.unroll)
 
         trajs = jnp.clip(trajs.astype(jnp.float32), -1.0, 1.0)
         if cfg.scale_to_meters:

@@ -20,6 +20,7 @@ from .schedule import DiffusionSchedule
 __all__ = [
     "StepConfig",
     "dynamic_threshold",
+    "clip_or_threshold",
     "pred_x0_and_eps",
     "ddpm_variance",
     "ddim_variance",
@@ -80,7 +81,8 @@ def pred_x0_and_eps(
     return pred_x0, pred_eps
 
 
-def _clip_or_threshold(cfg: StepConfig, pred_x0: jax.Array) -> jax.Array:
+def clip_or_threshold(cfg: StepConfig, pred_x0: jax.Array) -> jax.Array:
+    """Apply the configured x0 post-processing (threshold wins over clip)."""
     if cfg.thresholding:
         return dynamic_threshold(pred_x0, cfg.dynamic_thresholding_ratio, cfg.sample_max_value)
     if cfg.clip_sample:
@@ -128,7 +130,7 @@ def ddpm_step(
     current_beta_t = 1.0 - current_alpha_t
 
     pred_x0, _ = pred_x0_and_eps(cfg, model_output, sample, ap_t)
-    pred_x0 = _clip_or_threshold(cfg, pred_x0)
+    pred_x0 = clip_or_threshold(cfg, pred_x0)
 
     x0_coeff = jnp.sqrt(ap_prev) * current_beta_t / beta_prod_t
     xt_coeff = jnp.sqrt(current_alpha_t) * beta_prod_prev / beta_prod_t
@@ -161,7 +163,7 @@ def ddim_step(
     beta_prod_t = 1.0 - ap_t
 
     pred_x0, pred_eps = pred_x0_and_eps(cfg, model_output, sample, ap_t)
-    pred_x0 = _clip_or_threshold(cfg, pred_x0)
+    pred_x0 = clip_or_threshold(cfg, pred_x0)
 
     variance = ddim_variance(schedule, t, prev_t)
     std_dev_t = cfg.eta * jnp.sqrt(variance)
@@ -201,7 +203,7 @@ def inpaint_blend_ddpm(
     current_beta_t = 1.0 - current_alpha_t
 
     pred_x0, _ = pred_x0_and_eps(cfg, model_output, sample, ap_t)
-    pred_x0 = _clip_or_threshold(cfg, pred_x0)
+    pred_x0 = clip_or_threshold(cfg, pred_x0)
 
     x0_coeff = jnp.sqrt(ap_prev) * current_beta_t / beta_prod_t
     xt_coeff = jnp.sqrt(current_alpha_t) * beta_prod_prev / beta_prod_t
@@ -243,7 +245,7 @@ def inpaint_blend_ddim(
     beta_prod_t = 1.0 - ap_t
 
     pred_x0, pred_eps = pred_x0_and_eps(cfg, model_output, sample, ap_t)
-    pred_x0 = _clip_or_threshold(cfg, pred_x0)
+    pred_x0 = clip_or_threshold(cfg, pred_x0)
 
     variance = ddim_variance(schedule, t, prev_t)
     std_dev_t = cfg.eta * jnp.sqrt(variance)

@@ -231,6 +231,8 @@ def create_cfg() -> CfgNode:
     cfg.EVAL.BATCH_SIZE = 4
     cfg.EVAL.ETA = 0
     cfg.EVAL.CHECKPOINT = None
+    # "ddim" | "ddpm" | "dpm" (DPM-Solver++ 2M — the reference configures it,
+    # interact.py:92-94, but its registry lacks the entry; live here)
     cfg.EVAL.SCHEDULER = "ddim"
     cfg.EVAL.SAMPLE_STEPS = 100
 
