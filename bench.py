@@ -23,6 +23,9 @@ Extras:
 - distilled 4-step-grid plan latency (``distill4_bf16`` in-loop: the
   deployment operating point of a ``distill.py`` student — quality side in
   DISTILL.json);
+- DPM-Solver++(2M) 10-step plan latency (``dpm10_bf16``: few-step sampling
+  with NO distillation training — diffusion/dpm.py, the reference's dead
+  "dpm" branch implemented);
 - train-step sweep: samples/s/chip fwd+bwd+EMA at batch 8/64/128/256 (+256
   with TPU.REMAT), fp32 and bf16-compute (reference envelope:
   train.py:221-325), plus useful-FLOP accounting -> ``train_mfu_pct_useful``
@@ -374,6 +377,21 @@ def main():
     except Exception as exc:
         _log(f"distill4 sampler unavailable: {type(exc).__name__}: {exc}")
 
+    # ---- DPM-Solver++(2M) 10-step plan (diffusion/dpm.py — the reference's
+    # dead "dpm" branch, live): few-step deployment WITHOUT distillation
+    # training; latency depends only on the program shape (10 U-Net forwards
+    # + 1 encode + elementwise solver updates)
+    sample_dpm10 = None
+    try:
+        cfg_dpm = create_cfg()
+        cfg_dpm.EVAL.SCHEDULER = "dpm"
+        cfg_dpm.EVAL.SAMPLE_STEPS = 10
+        cfg_dpm.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg_dpm.TPU.SCAN_UNROLL = best_unroll
+        sample_dpm10 = jax.jit(sampler_from_cfg(model16, schedule, cfg_dpm))
+    except Exception as exc:
+        _log(f"dpm10 sampler unavailable: {type(exc).__name__}: {exc}")
+
     # ---- machine-checked FLOP accounting + MFU at the bf16 batch-256
     # operating point (fixes the round-2 "~4.2 GFLOP" DESIGN.md error).
     # XLA's cost_analysis counts a lax.scan body ONCE regardless of trip
@@ -461,6 +479,11 @@ def main():
             ("cfg_distill4_bf16",
              lambda v, x, im: sample_cfg_d4(v, x, image=im, target=target),
              init1, 32)
+        )
+    if sample_dpm10 is not None:
+        inloop_points.append(
+            ("dpm10_bf16",
+             lambda v, x, im: sample_dpm10(v, x, image=im), init1, 32)
         )
     for tag, call3, init_, n in inloop_points:
         vset = variables_f if tag.startswith("cfg") else (
