@@ -49,7 +49,10 @@ def dpm_timesteps(
     High-noise train timesteps whose lambda falls below ``lambda_min_clipped``
     (the reference's hard-coded -5.1, interact.py:93) are trimmed before the
     linspace — exactly diffusers' ``set_timesteps`` behavior. Returns a
-    strictly decreasing int64 grid ending at 0.
+    strictly decreasing int64 grid; 0 itself is dropped (diffusers' ``[:-1]``)
+    — the final step instead targets the sigma=0 terminal via
+    ``prev_timestep = -1`` (sampler.py builds ``prev_np``), where the update
+    collapses exactly to ``pred_x0``.
     """
     lam = _lambda_table(schedule)
     # lam decreases with t; count the trailing timesteps below the clip
