@@ -321,6 +321,76 @@ def apply_ema_shadow_params(variables: Dict[str, Any], shadow_params: List[Any],
     return variables
 
 
+def _copy_tree(node):
+    if isinstance(node, dict):
+        return {k: _copy_tree(v) for k, v in node.items()}
+    return node
+
+
+def import_torchvision_backbone(
+    variables: Dict[str, Any], state_dict: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Initialize the perception encoder from a torchvision-ImageNet
+    ``resnet34`` state_dict, reproducing the reference's fresh-training-run
+    init (modeling/temporal.py:83-84: ``resnet34(pretrained=True)`` downloads
+    the torchvision weights — modeling/resnet.py:299-311 — then the fc is
+    re-headed with a FRESH ``nn.Linear(512, time_dim)``):
+
+    * every perception conv/BN parameter and BN running stat comes from the
+      ImageNet state_dict, bit-compatibly;
+    * the fc head keeps the freshly-initialized (512, time_dim) kernel
+      already in ``variables`` (torchvision's 1000-way fc is dropped);
+    * every non-perception parameter is left untouched.
+
+    ``state_dict`` uses torchvision keys (``conv1.weight``,
+    ``layer1.0.bn1.running_mean``, ...); tensors may be torch or numpy.
+    Returns a new variables pytree (inputs are not mutated).
+    """
+    params_map, stats_map = _resnet34_mapping()
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    out = {k: _copy_tree(v) for k, v in variables.items()}
+    for torch_key, flax_path, tf in params_map:
+        if flax_path[:2] == ("perception", "fc"):
+            continue  # fresh time_dim head, not ImageNet's 1000-way fc
+        key = torch_key[len("perception."):]
+        if key not in state_dict:
+            raise KeyError(f"Missing key in torchvision state_dict: {key}")
+        arr = _FWD[tf](to_np(state_dict[key]))
+        have = np.asarray(_get_path(out["params"], flax_path))
+        if tuple(arr.shape) != tuple(have.shape):
+            raise ValueError(
+                f"{key}: torchvision shape {arr.shape} != model {have.shape}"
+            )
+        _set_path(out["params"], flax_path, arr)
+    for torch_key, flax_path, tf in stats_map:
+        key = torch_key[len("perception."):]
+        if key not in state_dict:
+            raise KeyError(f"Missing key in torchvision state_dict: {key}")
+        _set_path(
+            out.setdefault("batch_stats", {}), flax_path, _FWD[tf](to_np(state_dict[key]))
+        )
+    return out
+
+
+def load_torchvision_backbone(path: str, variables: Dict[str, Any], cfg=None) -> Dict[str, Any]:
+    """``import_torchvision_backbone`` from a ``.pth`` file — the file a user
+    gets from ``torch.hub`` / ``torchvision.models.resnet34(pretrained=True)``
+    (a bare state_dict, or a dict holding one under ``state_dict``)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if hasattr(sd, "state_dict"):  # a whole torch module was saved
+        sd = sd.state_dict()
+    return import_torchvision_backbone(variables, sd)
+
+
 def load_torch_checkpoint(path: str, cfg, use_ema: bool = True) -> Dict[str, Any]:
     """Load a reference ``.pth`` checkpoint into flax variables.
 

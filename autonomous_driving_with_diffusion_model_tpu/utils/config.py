@@ -165,6 +165,14 @@ def create_cfg() -> CfgNode:
     # ======= Train =======
     cfg.TRAIN = CfgNode()
     cfg.TRAIN.RESUME = None
+    # TPU-native extension: path to a torchvision ImageNet resnet34 .pth.
+    # The reference always trains from resnet34(pretrained=True)
+    # (modeling/temporal.py:83, weights downloaded in modeling/resnet.py:
+    # 299-311); set this to start a fresh run from the same ImageNet weights
+    # (models/torch_convert.py:import_torchvision_backbone). Empty = random
+    # init. Also the premise of TPU.BN_MODE=frozen's "pretrained running
+    # stats".
+    cfg.TRAIN.PRETRAINED_BACKBONE = ""
     cfg.TRAIN.USE_COND = "NO_GUIDANCE"
     cfg.TRAIN.USE_FREE_COND_PROB = 0.7
     cfg.TRAIN.LOG_INTERVAL = 20

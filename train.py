@@ -165,6 +165,20 @@ def main(args):
     variables = jax.jit(lambda k: model.init(k, x0, img=img0, time=jnp.asarray([1.0])))(
         jax.random.PRNGKey(0)
     )
+    if cfg.TRAIN.PRETRAINED_BACKBONE:
+        # training-recipe parity: the reference ALWAYS starts from the
+        # torchvision ImageNet resnet34 (modeling/temporal.py:83,
+        # modeling/resnet.py:299-311 — downloaded there; a file here, since
+        # this environment has no network egress)
+        from autonomous_driving_with_diffusion_model_tpu.models.torch_convert import (
+            load_torchvision_backbone,
+        )
+
+        logging.info(
+            "Initializing perception from ImageNet backbone %s...",
+            cfg.TRAIN.PRETRAINED_BACKBONE,
+        )
+        variables = load_torchvision_backbone(cfg.TRAIN.PRETRAINED_BACKBONE, variables)
     state = create_train_state(model, variables, cfg)
 
     if cfg.TRAIN.RESUME is not None:
