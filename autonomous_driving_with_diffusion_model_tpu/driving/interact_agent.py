@@ -46,12 +46,24 @@ class InteractAgent:
         # draw the planned waypoints into the live simulator through the
         # env's world.debug surface (reference: interact.py:305-312)
         self.plot_on_world = plot_on_world
-        # pipelined planning: act on the PREVIOUS frame's plan while the TPU
-        # computes this frame's (plan_begin/plan_fetch overlap device compute
-        # with the sim tick — hides the plan latency entirely at the cost of
-        # one frame of staleness; opt-in, no reference analogue)
+        # pipelined planning: act on the PREVIOUS frame's plan while this
+        # frame's WHOLE plan pipeline (host->device frame upload, fused plan
+        # dispatch, result download) runs on a one-deep worker thread — the
+        # host-visible step cost reduces to control math at one frame of
+        # staleness; opt-in, no reference analogue. The worker (not bare
+        # plan_begin) matters on hosts where the frame upload itself is
+        # expensive: measured on the tunneled dev rig, in-step plan_begin
+        # left 87 ms in the tick (bandwidth-bound frame upload + relay RPC)
+        # while the worker hides all of it (bench.py closed_loop_step_ms).
         self.pipelined = pipelined
         self._pending_plan = None
+        self._executor = None
+        if pipelined:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="plan_pipeline"
+            )
         if bev_save_path:
             import os
 
@@ -89,14 +101,14 @@ class InteractAgent:
             # control staleness (acting on the previous frame's plan) is the
             # documented pipelining trade-off; the debug overlays below must
             # use the POSE OF THE FRAME THE PLAN WAS MADE FOR, so the state
-            # is cached alongside the pending handle
-            handle = self.planner.plan_begin(rgb, target_point)
+            # is cached alongside the pending future
+            fut = self._executor.submit(self._plan_job, rgb, target_point)
             if self._pending_plan is not None:
-                prev_handle, plan_state = self._pending_plan
+                prev_fut, plan_state = self._pending_plan
             else:
-                prev_handle, plan_state = handle, state
-            traj = self.planner.plan_fetch(prev_handle)
-            self._pending_plan = (handle, state)
+                prev_fut, plan_state = fut, state
+            traj = prev_fut.result()
+            self._pending_plan = (fut, state)
         else:
             traj = self.planner.plan(rgb, target_point)
             plan_state = state
@@ -125,6 +137,13 @@ class InteractAgent:
         if self.on_frame is not None:
             self.on_frame(state, traj, control)
         return control
+
+    def _plan_job(self, rgb, target_point) -> np.ndarray:
+        """The worker-thread body of one pipelined plan: upload + fused plan
+        dispatch + result download — everything device-facing happens off the
+        control thread. Numerics identical to ``planner.plan``
+        (tests/test_driving.py pipelined-staleness test)."""
+        return self.planner.plan_fetch(self.planner.plan_begin(rgb, target_point))
 
     def _plot_to_world(self, state, traj) -> None:
         """Draw the planned waypoints into the simulator (reference:

@@ -44,6 +44,15 @@ overhead is program-dependent, not a constant floor).
 ``host_roundtrip_p50_ms`` is the per-call host-in-the-loop figure here
 (~25-30 ms relay RPC); on a co-located TPU host closed-loop latency is
 device time + O(0.1 ms) dispatch.
+
+``closed_loop_step_ms`` is the DEPLOYMENT answer to the 30 ms budget: the
+real InteractAgent in pipelined mode (obs ingest -> control from the
+previous frame's plan -> this frame's whole plan pipeline on a one-deep
+worker thread) driven at the reference's 10 fps and 20 Hz cadences. The
+frame upload, device compute, and result download all overlap the
+inter-tick gap, so the measured host step is control math + bookkeeping —
+even on this tunneled rig where a blocking in-step plan would cost ~60-90 ms
+(bandwidth-bound frame upload + relay RPC).
 """
 
 import json
@@ -408,6 +417,8 @@ def main():
         return float(cost.get("flops", 0.0))
 
     gflop_per_plan = mfu_pct = achieved_tflops = peak_tflops = None
+    gflop_encoder = gflop_unet_step = ref_gflop_per_plan = None
+    h100_ceiling_traj_s = x_vs_h100_ceiling = None
     try:
         Bm = 256
         initB = jnp.asarray(rng.standard_normal((Bm, 16, 7)), jnp.float32)
@@ -426,8 +437,28 @@ def main():
         unet_flops = _flops(unet_fn.lower(variables, initB, tB, featB))
         flops = enc_flops + 50 * unet_flops
         gflop_per_plan = flops / Bm / 1e9
-        _log(f"FLOPs/plan: encoder {enc_flops / Bm / 1e9:.2f} + 50 x unet "
-             f"{unet_flops / Bm / 1e9:.3f} = {gflop_per_plan:.2f} GFLOP")
+        gflop_encoder = enc_flops / Bm / 1e9
+        gflop_unet_step = unet_flops / Bm / 1e9
+        _log(f"FLOPs/plan: encoder {gflop_encoder:.2f} + 50 x unet "
+             f"{gflop_unet_step:.3f} = {gflop_per_plan:.2f} GFLOP")
+        # The reference re-runs the ResNet-34 encoder inside EVERY denoise
+        # step (/root/reference/modeling/temporal.py:203 `self.perception(img)`
+        # in forward, called once per scheduler step), so its per-plan FLOPs
+        # at DDIM-50 are 50 x (encoder + unet). An H100 SXM (989 TFLOP/s
+        # dense bf16 peak) running the reference implementation therefore has
+        # an absolute throughput CEILING of 989400 / ref_gflop traj/s even at
+        # 100% MFU — the analytic anchor for BASELINE.json's ">=5x H100"
+        # target (no GPU exists in this environment to measure it directly).
+        ref_gflop_per_plan = 50.0 * (enc_flops + unet_flops) / Bm / 1e9
+        h100_ceiling_traj_s = 989.4e3 / ref_gflop_per_plan
+        tp_b256 = tp_bf16.get(Bm)
+        if tp_b256:
+            x_vs_h100_ceiling = tp_b256 / h100_ceiling_traj_s
+            _log(
+                f"reference impl: {ref_gflop_per_plan:.0f} GFLOP/plan -> H100 "
+                f"ceiling {h100_ceiling_traj_s:.0f} traj/s; this chip "
+                f"{tp_b256:.0f} = {x_vs_h100_ceiling:.1f}x the ceiling"
+            )
         tp = tp_bf16.get(Bm)
         if tp:
             achieved_tflops = tp * gflop_per_plan / 1e3
@@ -520,6 +551,78 @@ def main():
     except Exception as exc:
         _log(f"per-step split unavailable: {type(exc).__name__}")
 
+    # ---- closed-loop host-in-the-loop step at sim cadence: the REAL
+    # InteractAgent in pipelined mode (control from the PREVIOUS frame's
+    # plan; this frame's upload + plan + download run on the agent's
+    # one-deep worker thread), driven at the reference's two deployment
+    # cadences — 10 fps interact loop (/root/reference/interact.py:274-317)
+    # and the 20 Hz leaderboard tick (/root/reference/leaderboard/.../
+    # scenario_manager.py:118-183). The whole plan pipeline overlaps the
+    # inter-tick gap, so the host-visible step cost is control math +
+    # bookkeeping — the deployment answer to the 30 ms budget that
+    # host_roundtrip_p50_ms (a blocking per-call RPC) cannot give. If the
+    # worker's pipeline exceeds the tick period (possible at 20 Hz on this
+    # bandwidth-limited tunneled rig: upload+RPC ~60-90 ms), .result()
+    # blocks for the remainder and the p99 shows it honestly.
+    closed_loop_ms = {}
+    try:
+        from autonomous_driving_with_diffusion_model_tpu.driving.interact_agent import (
+            InteractAgent,
+        )
+        from autonomous_driving_with_diffusion_model_tpu.driving.plan import (
+            DiffusionPlanner,
+        )
+
+        cfg_cl = create_cfg()
+        merge_possible_with_base(cfg_cl, "configs/guidance/free_guidance.yaml")
+        cfg_cl.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg_cl.TPU.SCAN_UNROLL = best_unroll
+        if tiny:
+            cfg_cl.MODEL.DIM = 8
+            cfg_cl.MODEL.PERCEPTION = "tiny"
+        planner_cl = DiffusionPlanner(cfg_cl)
+        agent_cl = InteractAgent(cfg_cl, env=None, planner=planner_cl, pipelined=True)
+        n_frames = 8
+        frames = np.asarray(
+            rng.integers(0, 256, size=(n_frames, H, W, 3)), np.uint8
+        )
+
+        def mk_state(i):
+            return {
+                "camera": frames[i % n_frames][None],
+                "next_waypoint": np.array([4.0, 4.0], np.float32),
+                "cur_waypoint": np.zeros((1, 2), np.float32),
+                "compass": np.zeros((1, 1), np.float32),
+                "state": np.zeros((1, 2), np.float32),
+            }
+
+        _log("compiling closed-loop pipelined agent (CFG DDIM-10 bf16)...")
+        agent_cl.warmup(mk_state(0))
+        n_ticks = 8 if tiny else 80
+        for hz in (10, 20):
+            period = 1.0 / hz
+            agent_cl._pending_plan = None
+            ticks = []
+            next_tick = time.perf_counter()
+            for i in range(n_ticks):
+                t0 = time.perf_counter()
+                agent_cl.compute_control(mk_state(i))
+                ticks.append((time.perf_counter() - t0) * 1000.0)
+                next_tick += period
+                time.sleep(max(0.0, next_tick - time.perf_counter()))
+            ticks = ticks[3:]  # the first fetches ride a cold pipeline
+            closed_loop_ms[f"{hz}hz"] = {
+                "p50": round(_percentile(ticks, 50), 3),
+                "p99": round(_percentile(ticks, 99), 3),
+            }
+            _log(
+                f"closed-loop pipelined step @{hz} Hz: "
+                f"p50 {closed_loop_ms[f'{hz}hz']['p50']:.2f} ms, "
+                f"p99 {closed_loop_ms[f'{hz}hz']['p99']:.2f} ms"
+            )
+    except Exception as exc:
+        _log(f"closed-loop cadence bench failed: {type(exc).__name__}: {exc}")
+
     # ---- training throughput: fwd+bwd+AdamW+EMA device step time
     # (reference envelope: train.py:221-325; synthetic on-device batch so the
     # tunnel never transfers the 256x900 images)
@@ -568,6 +671,10 @@ def main():
     train_sps = {}
     train_gflop_per_sample = None
     train_gflop_per_sample_frozen = None
+    # BN_MODE is pinned per point: the non-"frozen_bn" tags measure the
+    # strict-parity batch-statistics semantics (BN_MODE=train, the reference's
+    # model.train()); "frozen_bn" is the TPU DEFAULT since round 5
+    # (docs/PARITY.md #8) — the tag names keep cross-round comparability.
     for tag, compute_dtype, B, remat in (
         ("fp32_b8", "float32", 8, False),
         ("fp32_b64", "float32", 64, False),
@@ -576,16 +683,12 @@ def main():
         ("bf16_b128", "bfloat16", 128, False),
         ("bf16_b256", "bfloat16", 256, False),
         ("bf16_b256_remat", "bfloat16", 256, True),
-        # opt-in divergence knob (TPU.BN_MODE=frozen, docs/PARITY.md): BN in
-        # eval mode during training — removes the batch-stat reductions that
-        # account for the whole train-vs-inference MFU gap (docs/DESIGN.md)
         ("bf16_b256_frozen_bn", "bfloat16", 256, False),
     ):
         cfg_t = create_cfg()
         cfg_t.TPU.COMPUTE_DTYPE = compute_dtype
         cfg_t.TPU.REMAT = remat
-        if tag.endswith("frozen_bn"):
-            cfg_t.TPU.BN_MODE = "frozen"
+        cfg_t.TPU.BN_MODE = "frozen" if tag.endswith("frozen_bn") else "train"
         model_t = build_model(cfg_t)
         variables_t = jax.jit(
             lambda k: model_t.init(
@@ -698,6 +801,14 @@ def main():
             "us_per_unet_step_b1_bf16": us_per_step_b1 and round(us_per_step_b1, 1),
             "encoder_b1_ms_bf16": enc_b1_ms and round(enc_b1_ms, 3),
             "gflop_per_plan_ddim50": gflop_per_plan and round(gflop_per_plan, 2),
+            "gflop_encoder_per_plan": gflop_encoder and round(gflop_encoder, 2),
+            "gflop_unet_per_step": gflop_unet_step and round(gflop_unet_step, 4),
+            "ref_gflop_per_plan_ddim50": ref_gflop_per_plan
+            and round(ref_gflop_per_plan, 1),
+            "h100_ceiling_traj_per_s": h100_ceiling_traj_s
+            and round(h100_ceiling_traj_s, 1),
+            "x_vs_h100_ceiling": x_vs_h100_ceiling and round(x_vs_h100_ceiling, 2),
+            "closed_loop_step_ms": closed_loop_ms,
             "achieved_tflops_bf16_b256": achieved_tflops and round(achieved_tflops, 1),
             "peak_tflops_bf16": peak_tflops,
             "mfu_pct_bf16_b256": mfu_pct and round(mfu_pct, 1),
