@@ -280,14 +280,16 @@ def create_cfg() -> CfgNode:
     # drops activations from HBM for large batch at 900x256 (~1/3 extra fwd
     # FLOPs; gradients unchanged).
     cfg.TPU.REMAT = False
-    # Encoder BatchNorm mode during training. "train" reproduces the
-    # reference's semantics (batch statistics + running-stat updates,
-    # torch model.train()); "frozen" normalizes with the pretrained running
-    # stats (torch practice of freezing BN when fine-tuning a pretrained
-    # backbone). Frozen BN removes the per-conv batch reductions that were
-    # measured as the entire train-vs-inference MFU gap (docs/DESIGN.md) —
-    # a documented divergence knob, off by default (docs/PARITY.md).
-    cfg.TPU.BN_MODE = "train"
+    # Encoder BatchNorm mode during training. "frozen" (the TPU default,
+    # docs/PARITY.md divergence #8) normalizes with the running stats (the
+    # torch practice of freezing BN when fine-tuning a pretrained backbone —
+    # pair it with TRAIN.PRETRAINED_BACKBONE): it removes the per-conv batch
+    # reductions measured as the ENTIRE train-vs-inference MFU gap
+    # (docs/DESIGN.md; 48% -> 59.8% useful MFU at b256 bf16) and trains to
+    # identical flagship quality (held-out RMS 0.1505 vs 0.151 m,
+    # LEARNABILITY_FROZEN.json). "train" is the strict-parity switch: the
+    # reference's model.train() batch-statistics semantics, exactly.
+    cfg.TPU.BN_MODE = "frozen"
     # Device-resident dataset for training: "auto" uploads the whole decoded
     # dataset to HBM once when it fits the byte budget below and gathers
     # batches on device (no per-step host->device bulk transfer); "on"/"off"

@@ -482,12 +482,14 @@ def main():
                     help="distillation iterations per stage")
     ap.add_argument("--distill-out", default="DISTILL.json")
     ap.add_argument(
-        "--bn-mode", default="train", choices=["train", "frozen"],
-        help="TPU.BN_MODE for the training run: 'frozen' keeps the encoder's "
-        "BatchNorm in eval mode (the fine-tune-a-pretrained-backbone "
-        "practice; recovers the measured BN train-mode MFU cost — "
-        "docs/PARITY.md divergence #8). Default reproduces the reference's "
-        "batch-statistics semantics.",
+        "--bn-mode", default="frozen", choices=["train", "frozen"],
+        help="TPU.BN_MODE for the training run. 'frozen' (default, matching "
+        "the config default since round 5) keeps the encoder's BatchNorm in "
+        "eval mode (the fine-tune-a-pretrained-backbone practice; recovers "
+        "the measured BN train-mode MFU cost; flagship quality shown "
+        "identical — docs/PARITY.md divergence #8). 'train' reproduces the "
+        "reference's batch-statistics semantics exactly (the r4 canonical "
+        "LEARNABILITY.json was measured in this mode).",
     )
     args = ap.parse_args()
     if args.learned_scorer and (args.use_cond != "FREE_GUIDANCE" or args.quick):

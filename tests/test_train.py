@@ -100,13 +100,15 @@ def test_train_step_decreases_loss(rng, use_cond):
 
 
 def test_frozen_bn_mode(rng):
-    """TPU.BN_MODE=frozen: encoder BN normalizes with running stats and never
-    mutates them (the torch frozen-backbone practice); params still train and
-    the loss still falls. Default mode must keep mutating stats."""
+    """TPU.BN_MODE=frozen (the TPU DEFAULT since round 5, docs/PARITY.md #8):
+    encoder BN normalizes with running stats and never mutates them (the
+    torch frozen-backbone practice); params still train and the loss still
+    falls. BN_MODE=train is the strict-parity switch and must keep mutating
+    stats (the reference's model.train() semantics)."""
     cfg = tiny_cfg(perception="resnet18")
     cfg.TRAIN.LR = 1e-3
     cfg.TRAIN.LR_WARMUP = 1
-    cfg.TPU.BN_MODE = "frozen"
+    assert cfg.TPU.BN_MODE == "frozen"  # the documented TPU default
     model, state = init_state(cfg, rng)
     schedule = make_schedule(cfg.TRAIN.NOISE_SCHEDULER.TYPE, cfg.TRAIN.SAMPLE_STEPS)
     step = jax.jit(make_train_step(model, schedule, cfg))
@@ -127,8 +129,10 @@ def test_frozen_bn_mode(rng):
     assert moved > 0
     assert losses[-1] < losses[0] * 0.9 and np.isfinite(losses).all()
 
-    # default ("train") mode mutates the running stats — the reference contract
+    # "train" (strict-parity switch) mutates the running stats — the
+    # reference contract
     cfg_t = tiny_cfg(perception="resnet18")
+    cfg_t.TPU.BN_MODE = "train"
     model_t, state_t = init_state(cfg_t, rng)
     step_t = jax.jit(make_train_step(model_t, schedule, cfg_t))
     state_t2, _ = step_t(state_t, batch, jax.random.PRNGKey(0))
