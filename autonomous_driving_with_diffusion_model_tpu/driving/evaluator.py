@@ -197,10 +197,13 @@ class RouteEvaluator:
                 if wd is not None:
                     wd.stop()
 
-        # leaderboard failure attribution (statistics_manager.py:196-232): a
-        # route that terminated on a timeout/blocked/deviation is "Failed -
-        # <reason>"; endless/max-step episodes with no terminal infraction
-        # stay "Completed" (our suites include endless tasks with no target)
+        # leaderboard failure attribution (statistics_manager.py:224-232):
+        # any route whose target was not reached is "Failed", with the
+        # specific "- <reason>" suffix when a timeout/blocked/deviation named
+        # it (reconciled against the vendored StatisticsManager on executed
+        # infraction episodes, tests/test_statistics_reconcile.py). Endless
+        # tasks are our extension with no route target: a step-capped
+        # partial stays "Completed" there (route dict key "endless").
         if status == "Completed" and not is_completed:
             if env_timeout:
                 status = "Failed - Agent timed out"
@@ -208,6 +211,8 @@ class RouteEvaluator:
                 status = "Failed - Agent got blocked"
             elif counters.route_dev:
                 status = "Failed - Agent deviated from the route"
+            elif not route.get("endless", False):
+                status = "Failed"
 
         if traced_length_m is not None:
             length_m = traced_length_m

@@ -357,6 +357,192 @@ def test_resume_keeps_reconciled_records(tmp_path, vendored):
     assert out["env_kinds"] == ["scripted"]
 
 
+def test_injected_infraction_episodes_reconcile(tmp_path, vendored, monkeypatch):
+    """END-TO-END reconciliation on infraction-bearing EPISODES: the
+    infractions come from EXECUTED machinery over mock CARLA — route 0's
+    pedestrian collision from an injected Scenario3 crossing walker
+    (sim/scenario_injection.py), route 1's red-light run from the real
+    RunRedLight criterion — scored by our RouteEvaluator, then the same
+    measured outcome (our criteria's counters + our odometry's completion)
+    scored by the vendored StatisticsManager. Per-route score_composed,
+    score_penalty, infraction counts, statuses, and the global record must
+    match (statistics_manager.py:121-230). One infraction per episode is the
+    native env's semantics: its valeo terminal ends the episode at the first
+    collision / red-light run (sim/terminal.py), unlike the endless
+    leaderboard tick — hence two episodes rather than one with both."""
+    import copy
+    import json as _json
+
+    StatisticsManager, TrafficEvent, TrafficEventType = vendored
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    from autonomous_driving_with_diffusion_model_tpu.sim.carla_env import (
+        CarlaDrivingEnv,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.suites import TransformSpec
+
+    # -- route 0: LeaderBoard-style task, Scenario3 crossing walker injected
+    scenarios = {
+        "available_scenarios": [
+            {
+                "Town01": [
+                    {
+                        "scenario_type": "Scenario3",
+                        "available_event_configurations": [
+                            {"transform": {"x": "40.0", "y": "0.0", "z": "0.0",
+                                           "yaw": "0"}}
+                        ],
+                    }
+                ]
+            }
+        ]
+    }
+    json_path = tmp_path / "scenarios.json"
+    json_path.write_text(_json.dumps(scenarios))
+    task = {
+        "weather": "ClearNoon",
+        "route_id": 0,
+        "town": "Town01",
+        "scenarios_json": str(json_path),
+        "num_zombie_vehicles": 0,
+        "num_zombie_walkers": 0,
+        "ego_route": [TransformSpec(x=5.0, y=0.0), TransformSpec(x=100.0, y=0.0)],
+        "endless": False,
+        "target_speed": 6.0,
+        "scenario_actors": {},
+        "scenario_actor_configs": {},
+        "walker_speed": 1.8,  # lingering hazard (see test_scenario_injection)
+        "walker_trigger_dist": 18.0,
+    }
+
+    class FullThrottleAgent:
+        def compute_control(self, state):
+            return np.zeros(3, np.float32) + np.array([1.0, 0.0, 0.0])
+
+    envs = {}
+
+    def env_factory(route):
+        if route["index"] == 0:
+            env = CarlaDrivingEnv(seed=0, tasks=[task], eval_mode=True)
+            env._task_idx = -1
+            envs[0] = env
+            return env
+        # -- route 1: default town, a red light the full-throttle ego runs
+        env = CarlaDrivingEnv(seed=0)
+        env.world.actors.append(mock_carla.TrafficLight(x=57.0, state="Red"))
+        envs[1] = env
+
+        class _Proxy:  # scripted straight route through the junction
+            @property
+            def counters(self):
+                return env.counters
+
+            def reset(self):
+                env.reset()
+                env.ego.transform.location.x = 30.0
+                env.ego.transform.location.y = 0.0
+                env.ego.transform.rotation.yaw = 0.0
+                env.ego.speed = 0.0
+                env.tracker = None
+                env.route = [((float(x), 0.0), 4) for x in range(30, 230)]
+                env._route_idx = 0
+                env._prev_loc_xy = np.array([30.0, 0.0])
+                env.completed_m = 0.0
+                env.world.tick()
+                return env._observe()
+
+            def step(self, control):
+                return env.step(control)
+
+        envs[1] = env
+        return _Proxy()
+
+    snapshots = {}
+
+    def counters_fn(env):
+        src = env.counters
+        idx = 0 if len(snapshots) == 0 else 1
+        snapshots[idx] = copy.copy(src)
+        return src
+
+    ev = RouteEvaluator(
+        agent_factory=FullThrottleAgent,
+        env_factory=env_factory,
+        routes=[
+            {"id": "walker_collision", "index": 0, "length_m": 95.0},
+            {"id": "red_light_run", "index": 1, "length_m": 100.0},
+        ],
+        checkpoint_path=str(tmp_path / "episodes.json"),
+        max_steps_per_route=600,
+        counters_fn=counters_fn,
+        env_kind="carla",
+    )
+    data = ev.run(resume=False)
+    records = data["_checkpoint"]["records"]
+
+    # the episodes really produced the targeted infractions via the criteria
+    assert snapshots[0].collisions_pedestrian >= 1
+    assert snapshots[1].red_light == 1
+
+    # -- vendored oracle on the SAME measured outcome: our criteria counters
+    # as TrafficEvents, our odometry's completion pct (== score_route, the
+    # leaderboard identity) as the ROUTE_COMPLETION payload
+    class Loc:
+        def __init__(self, x, y=0.0, z=0.0):
+            self.x, self.y, self.z = x, y, z
+
+    sm = StatisticsManager()
+    for i, rec in enumerate(records):
+        oc = types.SimpleNamespace(
+            counters=snapshots[i],
+            completed=False,
+            completed_m=max(
+                rec["scores"]["score_route"] / 100.0 * rec["meta"]["route_length"],
+                1e-9,
+            ),
+            completed_pct=rec["scores"]["score_route"],
+        )
+        criterion = types.SimpleNamespace(
+            list_traffic_events=vendored_events(oc, TrafficEvent, TrafficEventType)
+        )
+        scenario = types.SimpleNamespace(
+            timeout_node=types.SimpleNamespace(timeout=False),
+            get_criteria=lambda c=criterion: [c],
+        )
+        config = types.SimpleNamespace(
+            index=i,
+            trajectory=[Loc(0.0), Loc(rec["meta"]["route_length"])],
+            agent=types.SimpleNamespace(step=100),
+        )
+        sm.set_route(rec["route_id"], i)
+        sm.set_scenario(scenario)
+        ref = sm.compute_route_statistics(config, failure="")
+        for key in ("score_route", "score_penalty", "score_composed"):
+            assert rec["scores"][key] == pytest.approx(
+                ref.scores[key], rel=1e-9, abs=1e-9
+            ), (rec["route_id"], key)
+        for key in GLOBAL_INFRACTION_KEYS:
+            assert len(rec["infractions"][key]) == len(ref.infractions[key]), (
+                rec["route_id"],
+                key,
+            )
+        assert rec["status"] == ref.status, rec["route_id"]
+
+    ref_global = sm.compute_global_statistics(len(records))
+    ours_global = data["_checkpoint"]["global_record"]
+    for key in ("score_route", "score_penalty", "score_composed"):
+        assert ours_global["scores"][key] == pytest.approx(
+            ref_global.scores[key], rel=1e-9, abs=1e-9
+        ), key
+    for key in GLOBAL_INFRACTION_KEYS:
+        assert ours_global["infractions"][key] == pytest.approx(
+            ref_global.infractions[key], rel=1e-9, abs=1e-9
+        ), key
+    for env in envs.values():
+        env.close()
+
+
 def test_global_math_on_synthetic_records(vendored):
     """compute_global_record == vendored compute_global_statistics on records
     NOT produced by our evaluator (pure-math cross-check, incl. the 0.001 km
