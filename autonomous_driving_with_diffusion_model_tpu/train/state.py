@@ -52,11 +52,29 @@ def make_lr_schedule(base_lr: float, warmup_steps: int):
     return schedule
 
 
-def make_optimizer(lr: float, warmup_steps: int):
+def make_optimizer(lr: float, warmup_steps: int, decay_steps: int = 0):
     """The reference's AdamW contract (train.py:170-174) — the single source
-    of these hyperparameters; distillation fine-tuning reuses it too."""
+    of these hyperparameters; distillation fine-tuning reuses it too.
+
+    ``decay_steps`` > 0 swaps the constant-after-warmup schedule for a cosine
+    decay to ZERO over that many total steps (distillation stages end at
+    lr=0 so the final student is not one noisy AdamW step away from its
+    converged average — the r4 distill regression postmortem)."""
+    if decay_steps > 0:
+        # optax counts warmup inside decay_steps; a run shorter than the
+        # warmup (tiny test stages) degenerates to warmup-only
+        warmup_steps = max(min(warmup_steps, decay_steps - 1), 1)
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=decay_steps,
+            end_value=0.0,
+        )
+    else:
+        schedule = make_lr_schedule(lr, warmup_steps)
     return optax.adamw(
-        learning_rate=make_lr_schedule(lr, warmup_steps),
+        learning_rate=schedule,
         b1=0.95,
         b2=0.999,
         eps=1e-7,

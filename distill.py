@@ -148,6 +148,11 @@ def main():
             lr=args.lr,
             warmup=args.warmup,
             snr_weight=args.snr_weight,
+            # cosine-decay the LR to zero over the stage and deploy the
+            # student's EMA: end-of-stage raw params carry AdamW's terminal
+            # noise (r4 postmortem — a steer-channel bias that blew up the
+            # closed loop; see make_distill_step docstring)
+            decay_steps=args.iters,
         )
         jit_step = jax.jit(step, donate_argnums=(0,))
         state = init_state(teacher["params"])
@@ -173,15 +178,18 @@ def main():
         # logged one (log interval need not divide --iters)
         loss = float(metrics["loss"]) if metrics is not None else float("nan")
 
-        # student -> reference-format .pth (EMA shadow = student params, so
-        # the planner's EMA-overwrite load gets the distilled weights)
-        export_state = create_train_state(model, {"params": state.params,
+        # student -> reference-format .pth. The DEPLOYED weights are the
+        # student's EMA (state.ema.shadow_params, see make_distill_step):
+        # they fill both the state_dict params and the EMA shadow slot, so
+        # the planner's EMA-overwrite load gets the averaged weights.
+        student_params = state.ema.shadow_params
+        export_state = create_train_state(model, {"params": student_params,
                                                   "batch_stats": batch_stats}, cfg)
         export_state = export_state._replace(
-            params=state.params,
+            params=student_params,
             opt_state=state.opt_state,
             ema=EmaState(
-                shadow_params=state.params,
+                shadow_params=student_params,
                 optimization_step=jnp.asarray(int(state.step), jnp.int32),
             ),
             step=jnp.asarray(int(state.step), jnp.int32),
@@ -203,7 +211,8 @@ def main():
         }
         manifest["stages"].append(stage_info)
         print(f"[distill] stage done: {stage_info}", flush=True)
-        teacher = {"params": state.params, "batch_stats": batch_stats}
+        # the next stage distills from the DEPLOYED (EMA) student
+        teacher = {"params": student_params, "batch_stats": batch_stats}
 
     with open(osp.join(args.workdir, "distill.json"), "w") as f:
         json.dump(manifest, f, indent=2)

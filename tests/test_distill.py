@@ -185,6 +185,52 @@ def test_distill_step_decreases_loss(use_cond):
     assert int(state.step) == 25
 
 
+def test_student_ema_lags_and_deploys(rng=None):
+    """The deployed student is the EMA (r4 postmortem: raw end-of-stage params
+    carried a steer-channel bias that blew up closed loop): the shadow starts
+    at the teacher, lags the raw params, and with decay_steps the LR ends at
+    ~0 so the last raw step is negligible."""
+    import optax
+
+    from autonomous_driving_with_diffusion_model_tpu.train.state import make_optimizer
+
+    cfg = tiny_cfg("NO_GUIDANCE")
+    rng = np.random.default_rng(5)
+    model, variables = _init_model(cfg, rng)
+    schedule = make_schedule(num_train_timesteps=100)
+    grid = grid_chain(100, 8, 1)[0]
+    N = 12
+    init_state, step = make_distill_step(
+        model, schedule, grid, lr=1e-3, warmup=2, decay_steps=N
+    )
+    jit_step = jax.jit(step, donate_argnums=(0,))
+    state = init_state(variables["params"])
+    teacher_leaf = np.asarray(variables["params"]["time_mlp"]["fc1"]["weight"])
+    np.testing.assert_array_equal(
+        np.asarray(state.ema.shadow_params["time_mlp"]["fc1"]["weight"]), teacher_leaf
+    )
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((4, 32, 48, 3)), jnp.float32),
+        "trajs": jnp.asarray(rng.uniform(-0.5, 0.5, (4, 16, 7)), jnp.float32),
+        "target": jnp.asarray(rng.standard_normal((4, 2)), jnp.float32),
+    }
+    stats = variables.get("batch_stats", {})
+    for it in range(N):
+        state, _ = jit_step(state, variables, stats, batch, jax.random.PRNGKey(it))
+    raw = np.asarray(state.params["time_mlp"]["fc1"]["weight"])
+    ema = np.asarray(state.ema.shadow_params["time_mlp"]["fc1"]["weight"])
+    assert int(state.ema.optimization_step) == N
+    # the EMA moved off the teacher but lags the raw iterate (it averages the
+    # trajectory, so it sits strictly between teacher and raw in step norm)
+    d_ema = np.abs(ema - teacher_leaf).max()
+    d_raw = np.abs(raw - teacher_leaf).max()
+    assert d_ema > 0
+    assert d_ema < d_raw
+    # cosine decay reached ~0: the schedule's terminal LR is < 1% of peak
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 2, N, 0.0)
+    assert float(sched(N)) < 1e-5
+
+
 def test_cfg_free_scale_one_skips_uncond_pass():
     """free_scale=1.0 statically reduces CFG to the conditional forward
     (u + 1*(c-u) == c): the sampler output matches a manual cond-only DDIM
