@@ -94,6 +94,12 @@ class Rotation:
     def __init__(self, pitch=0.0, yaw=0.0, roll=0.0):
         self.pitch, self.yaw, self.roll = float(pitch), float(yaw), float(roll)
 
+    def get_forward_vector(self):
+        # real carla.Rotation exposes this too (yaw-only is enough for the
+        # flat-ground consumers exercised in tests)
+        yaw = np.deg2rad(self.yaw)
+        return SimpleNamespace(x=float(np.cos(yaw)), y=float(np.sin(yaw)), z=0.0)
+
 
 class Transform:
     def __init__(self, location=None, rotation=None):

@@ -474,3 +474,138 @@ def test_outside_wrong_lane_matches_reference(monkeypatch):
     # every scripted phase actually fired
     assert any(o for _s, o, _w in flags), "off-road phase never flagged"
     assert any(w for _s, _o, w in flags), "wrong-lane phase never flagged"
+
+def test_valeo_reward_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's full ``ValeoAction.get`` (valeo_action.py:
+    31-166) over mock carla on randomized scripted scenarios and reconcile
+    our pure-function pipeline (lbc hazards -> desired_speed_from_hazards ->
+    ValeoActionReward) to float tolerance: hazard standoffs (8/6/5/5 m),
+    5 m linear ramps, min-composition, red/yellow light handling, stop-sign
+    branch, r_position/r_rotation geometry, and the stateful steer-jerk
+    penalty across steps."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    import carla_gym.utils.traffic_light as ref_tl
+    import carla_gym.utils.transforms as trans_utils
+    from carla_gym.core.task_actor.ego_vehicle.reward.valeo_action import (
+        ValeoAction,
+    )
+
+    light_box = {}
+    monkeypatch.setattr(
+        ref_tl.TrafficLightHandler,
+        "get_light_state",
+        staticmethod(lambda vehicle, offset=0.0, dist_threshold=15.0: light_box["v"]),
+    )
+
+    def rand_obs(n=4):
+        return {
+            "binary_mask": rng.integers(0, 2, n),
+            "rotation": rng.uniform(-180, 180, (n, 3)),
+            "location": rng.uniform(-12, 12, (n, 3)),
+            "on_sidewalk": rng.integers(0, 2, n),
+        }
+
+    for case in range(25):
+        veh_obs, ped_obs = rand_obs(), rand_obs()
+        state_pick = ["Red", "Yellow", "Green", None][case % 4]
+        if state_pick is None:
+            light_box["v"] = (None, None, None)
+        else:
+            light_box["v"] = (
+                getattr(mock_carla.TrafficLightState, state_pick),
+                np.asarray(rng.uniform(-10, 10, 3), np.float32),
+                None,
+            )
+        # one deterministic stop-sign case exercises the 4th speed source
+        stop_sign = None
+        if case == 7:
+            stop_sign = SimpleNamespace(
+                get_transform=lambda: mock_carla.Transform(
+                    mock_carla.Location(6.0, 1.0), mock_carla.Rotation(yaw=30.0)
+                ),
+                trigger_volume=SimpleNamespace(
+                    location=mock_carla.Location(1.0, 0.5)
+                ),
+            )
+        ev_xy = rng.uniform(-5, 5, 2)
+        ev_yaw = float(rng.uniform(-180, 180))
+        wp_xy = ev_xy + rng.uniform(-2, 2, 2)
+        wp_yaw = float(rng.uniform(-180, 180))
+        vel = rng.uniform(-7, 7, 2)
+        steers = rng.uniform(-0.5, 0.5, 3)
+
+        holder = {"steer": 0.0}
+        ego = SimpleNamespace(
+            vehicle=SimpleNamespace(
+                get_transform=lambda: mock_carla.Transform(
+                    mock_carla.Location(*ev_xy), mock_carla.Rotation(yaw=ev_yaw)
+                ),
+                get_control=lambda: mock_carla.VehicleControl(
+                    steer=holder["steer"]
+                ),
+                get_velocity=lambda: SimpleNamespace(
+                    x=float(vel[0]), y=float(vel[1]), z=0.0
+                ),
+            ),
+            criteria_stop=SimpleNamespace(
+                _target_stop_sign=stop_sign, _stop_completed=False
+            ),
+            get_route_transform=lambda: mock_carla.Transform(
+                mock_carla.Location(*wp_xy), mock_carla.Rotation(yaw=wp_yaw)
+            ),
+        )
+        ref = ValeoAction.__new__(ValeoAction)
+        ref._ego_vehicle = ego
+        ref.om_vehicle = SimpleNamespace(get_observation=lambda: veh_obs)
+        ref.om_pedestrian = SimpleNamespace(get_observation=lambda: ped_obs)
+        ref._maxium_speed = 6.0
+        ref._last_steer = 0.0
+        ref._tl_offset = -1.5
+
+        ours = ValeoActionReward()
+        terminal_reward = float(rng.uniform(-1, 1))
+        for steer in steers:  # multi-step: the jerk penalty is stateful
+            holder["steer"] = float(steer)
+            ref_reward, _ = ref.get(terminal_reward)
+
+            h_veh = lbc_hazard_vehicle(veh_obs)
+            h_ped = lbc_hazard_walker(ped_obs)
+            red_loc = None
+            if light_box["v"][0] in ("Red", "Yellow"):
+                red_loc = light_box["v"][1][:2]
+            stop_loc = None
+            if stop_sign is not None:
+                # ego-frame stop location: shared input spec, computed with
+                # the reference's own transform util (also mock-executed)
+                loc_w = stop_sign.get_transform().transform(
+                    stop_sign.trigger_volume.location
+                )
+                loc_ev = trans_utils.loc_global_to_ref(
+                    loc_w, ego.vehicle.get_transform()
+                )
+                stop_loc = np.array([loc_ev.x, loc_ev.y])
+            ds = desired_speed_from_hazards(
+                hazard_vehicle_loc=h_veh,
+                hazard_ped_loc=h_ped,
+                red_light_loc=red_loc,
+                stop_sign_loc=stop_loc,
+            )
+            our_reward, _ = ours.get(
+                float(np.linalg.norm(vel)),
+                ev_xy,
+                ev_yaw,
+                float(steer),
+                wp_xy,
+                wp_yaw,
+                ds,
+                terminal_reward,
+            )
+            assert our_reward == pytest.approx(ref_reward, rel=1e-6, abs=1e-6), (
+                case,
+                steer,
+            )
