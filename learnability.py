@@ -478,8 +478,12 @@ def main():
     )
     ap.add_argument("--distill-start", type=int, default=50,
                     help="teacher grid size the halving chain starts from")
-    ap.add_argument("--distill-iters", type=int, default=400,
-                    help="distillation iterations per stage")
+    ap.add_argument("--distill-iters", type=int, default=800,
+                    help="distillation iterations per stage (800 is the "
+                    "measured passing point: at 400 the 1-step student's "
+                    "closed-loop lateral lands at 0.319 m, outside the "
+                    "2x-teacher bound; at 800 all four gates pass — "
+                    "DISTILL.json r5)")
     ap.add_argument("--distill-out", default="DISTILL.json")
     ap.add_argument(
         "--bn-mode", default="frozen", choices=["train", "frozen"],
