@@ -755,7 +755,7 @@ def main():
         )
         _log(
             f"train frozen-BN point: {train_sps['bf16_b256_frozen_bn']:.0f} "
-            f"samples/s = {train_mfu_pct_frozen:.1f}% useful MFU (opt-in knob)"
+            f"samples/s = {train_mfu_pct_frozen:.1f}% useful MFU (the default mode)"
         )
 
     # headline: default deployment dtype; the in-loop figure when available
