@@ -36,7 +36,11 @@ def main():
                     help="teacher grid size (default: cfg.EVAL.SAMPLE_STEPS)")
     ap.add_argument("--stages", type=int, default=6,
                     help="halvings to run (stops automatically at 1 step)")
-    ap.add_argument("--iters", type=int, default=300, help="train iters per stage")
+    ap.add_argument(
+        "--iters", type=int, default=300,
+        help="train iters per stage; the measured quality proof needed 800 "
+             "on the 120-sample learnability set (400 left the 1-step "
+             "student's closed-loop lateral out of bound — see DISTILL.json)")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--snr-weight", action="store_true",

@@ -609,3 +609,162 @@ def test_valeo_reward_parity_vs_reference(monkeypatch, rng):
                 case,
                 steer,
             )
+
+
+def test_valeo_terminal_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``ValeoNoDetPx.get`` (terminal/
+    valeo_no_det_px.py:21-140) over mock carla on randomized stateful
+    episodes and reconcile our ``ValeoTerminal``: the done mask (blocked /
+    red-light / collision / collision_px / eval timeout — lat-dist and
+    run-stop commented out upstream), the -1 - speed terminal reward with
+    the leave-target distance penalty, the lat-dist growth hysteresis, the
+    leave-target waypoint tracker, and the RL exploration suggestions."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.ego_vehicle.terminal.valeo_no_det_px import (
+        ValeoNoDetPx,
+    )
+
+    for episode in range(10):
+        eval_mode = episode % 2 == 1
+        ref = ValeoNoDetPx.__new__(ValeoNoDetPx)
+        ref._exploration_suggest = True
+        ref._last_lat_dist = 0.0
+        ref._min_thresh_lat_dist = 3.5
+        ref._eval_mode = eval_mode
+        ref._eval_time = 1200
+        ref.prev_next_waypoint = None
+        ref.prev_distance = None
+        ours = ValeoTerminal(exploration_suggest=True, eval_mode=eval_mode)
+
+        ev_xy = rng.uniform(-5, 5, 2)
+        nwp_xy = ev_xy + rng.uniform(-8, 8, 2)
+        for step in range(12):
+            # random walk; occasional big jumps exercise the hysteresis branch
+            ev_xy = ev_xy + rng.uniform(-1, 1, 2) * (5.0 if step % 5 == 4 else 1.0)
+            wp_xy = ev_xy + rng.uniform(-4, 4, 2)
+            wp_yaw = float(rng.uniform(-180, 180))
+            vel = rng.uniform(-6, 6, 2)
+            # hold the next waypoint for a few steps (leave-target tracker's
+            # same-waypoint branch), then move it (reset branch)
+            if step % 4 == 3:
+                nwp_xy = ev_xy + rng.uniform(-8, 8, 2)
+            info = {
+                "blocked": {"step": step} if rng.uniform() < 0.08 else None,
+                "run_red_light": {"step": step} if rng.uniform() < 0.08 else None,
+                "collision": {"step": step} if rng.uniform() < 0.08 else None,
+                "run_stop_sign": (
+                    {"event": "run" if rng.uniform() < 0.5 else "stop"}
+                    if rng.uniform() < 0.15
+                    else None
+                ),
+            }
+            collision_px = bool(rng.uniform() < 0.06)
+            # cross the eval timeout inside the episode
+            sim_time = 1195.0 + step * 1.0 if eval_mode else 0.1 * step
+
+            ref._ego_vehicle = SimpleNamespace(
+                info_criteria=info,
+                collision_px=collision_px,
+                vehicle=SimpleNamespace(
+                    get_location=lambda xy=ev_xy: mock_carla.Location(*xy),
+                    get_velocity=lambda v=vel: SimpleNamespace(
+                        x=float(v[0]), y=float(v[1]), z=0.0
+                    ),
+                ),
+                get_route_transform=lambda xy=wp_xy, yaw=wp_yaw: mock_carla.Transform(
+                    mock_carla.Location(*xy), mock_carla.Rotation(yaw=yaw)
+                ),
+                get_next_location=[
+                    SimpleNamespace(
+                        transform=SimpleNamespace(
+                            location=mock_carla.Location(*nwp_xy)
+                        )
+                    )
+                ],
+            )
+            ref_done, ref_timeout, ref_reward, ref_debug = ref.get(
+                {"relative_simulation_time": sim_time}
+            )
+            our_done, our_timeout, our_reward, our_debug = ours.get(
+                sim_time,
+                (float(ev_xy[0]), float(ev_xy[1]), 0.0),
+                float(np.linalg.norm(vel)),
+                (float(wp_xy[0]), float(wp_xy[1])),
+                wp_yaw,
+                (float(nwp_xy[0]), float(nwp_xy[1])),
+                info["blocked"],
+                info["run_red_light"],
+                info["collision"],
+                info["run_stop_sign"],
+                collision_px=collision_px,
+            )
+            key = (episode, step)
+            assert our_done == ref_done, key
+            assert our_timeout == ref_timeout, key
+            assert our_reward == pytest.approx(ref_reward, rel=1e-5, abs=1e-5), key
+            assert (
+                our_debug["exploration_suggest"]
+                == ref_debug["exploration_suggest"]
+            ), key
+            # lat-dist flag + value from the reference's debug text
+            # ("latd:{int(c_lat_dist)}, {lat_dist:.2f}/{thresh:.2f}")
+            latd_txt = ref_debug["debug_texts"][2]
+            ref_lat_flag = bool(int(latd_txt.split("latd:")[1][0]))
+            ref_lat_val = float(latd_txt.split(", ")[1].split("/")[0])
+            assert our_debug["c_lat_dist"] == ref_lat_flag, key
+            assert our_debug["lat_dist"] == pytest.approx(ref_lat_val, abs=6e-3), key
+
+
+def test_weather_handler_parity_vs_reference(monkeypatch):
+    """EXECUTE the reference's ``WeatherHandler`` + ``Sun``/``Storm``
+    (dynamic_weather.py:28-124) over mock carla for 300 ticks at
+    speed-factor 2.0 and reconcile our ``DynamicWeather``'s parameter dict
+    each tick — covers the storm's +100 / -250 direction flips, the puddle
+    delay asymmetry, the wind step function, and the sun phase wrap."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    import carla_gym.utils.dynamic_weather as ref_dw
+
+    preset = mock_carla.WeatherParameters(
+        sun_azimuth_angle=10.0, sun_altitude_angle=30.0, precipitation=20.0
+    )
+    monkeypatch.setattr(np.random, "choice", lambda seq: preset)
+    monkeypatch.setattr(np.random, "uniform", lambda a, b: 1.234)
+
+    captured = {}
+    world = SimpleNamespace(set_weather=lambda w: captured.update(w=w))
+    ref = ref_dw.WeatherHandler(world)
+    ref.reset("dynamic_2.0")  # ticks 0.1 once internally
+
+    fixed_rng = SimpleNamespace(uniform=lambda a, b: 1.234)
+    ours = DynamicWeather.from_config_name(
+        "dynamic_2.0", sun_azimuth=10.0, sun_altitude=30.0,
+        precipitation=20.0, rng=fixed_rng,
+    )
+    params = ours.tick(0.1)  # mirror the reset tick
+
+    def check(tick_i):
+        w = captured["w"]
+        for k, v in params.items():
+            assert getattr(w, k) == pytest.approx(v, rel=1e-9, abs=1e-9), (tick_i, k)
+
+    check(-1)
+    directions = set()
+    # storm _t moves 1.3 * 0.1 s * speed 2.0 = 0.26/tick: the +100 flip from
+    # _t=20 needs ~308 ticks, the -250 flip ~1346 more — 1800 covers both
+    for i in range(1800):
+        ref.tick(0.1)
+        params = ours.tick(0.1)
+        check(i)
+        directions.add(ours.storm._increasing)
+    # both direction flips actually happened in-window
+    assert directions == {True, False}
