@@ -61,8 +61,9 @@ def build_routes(env_id: str, tasks) -> list:
             "id": f"{env_id}/{i:03d}_r{task['route_id']}_{task['weather']}",
             "index": i,
             # endless tasks have no route target: a step-capped partial stays
-            # "Completed" instead of the leaderboard's "Failed" (evaluator.py)
-            "endless": bool(task.get("endless", False)),
+            # "Completed" instead of the leaderboard's "Failed" (evaluator.py).
+            # Default mirrors CarlaDrivingEnv: no ego_route => endless.
+            "endless": bool(task.get("endless", not task.get("ego_route"))),
         }
         ego_route = task.get("ego_route") or []
         if len(ego_route) >= 2:

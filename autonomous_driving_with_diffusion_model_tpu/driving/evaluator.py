@@ -119,6 +119,7 @@ class RouteEvaluator:
             sim_watchdog = Watchdog(timeout=self.step_timeout)
             agent_watchdog = Watchdog(timeout=max(1.0, self.step_timeout - 1.0))
         traced_length_m = None
+        agent = None
         try:
             env = self.env_factory(route)
             agent = self.agent_factory()
@@ -196,6 +197,14 @@ class RouteEvaluator:
             for wd in (sim_watchdog, agent_watchdog):
                 if wd is not None:
                     wd.stop()
+            # release per-route agent resources (e.g. the pipelined
+            # InteractAgent's worker thread + in-flight plan)
+            agent_close = getattr(agent, "close", None)
+            if agent_close is not None:
+                try:
+                    agent_close()
+                except Exception:
+                    pass
 
         # leaderboard failure attribution (statistics_manager.py:224-232):
         # any route whose target was not reached is "Failed", with the

@@ -70,6 +70,16 @@ class InteractAgent:
             os.makedirs(bev_save_path, exist_ok=True)
         self._count = 0
 
+    def close(self) -> None:
+        """Shut down the pipelined worker: drop the in-flight plan reference
+        and join the executor, so per-route agents (the evaluator builds a
+        fresh one per route) don't leak a worker thread or leave an orphan
+        plan occupying the device into the next route's warmup."""
+        self._pending_plan = None
+        if self._executor is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+
     # ------------------------------------------------------------------ step
 
     def warmup(self, state) -> None:

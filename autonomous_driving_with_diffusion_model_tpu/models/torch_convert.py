@@ -256,6 +256,12 @@ def _get_path(tree: Dict, path: Tuple[str, ...]):
     return node
 
 
+def _to_np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, dtype=np.float32)
+
+
 def torch_state_dict_to_variables(state_dict: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Convert a reference torch ``state_dict`` to flax variables.
 
@@ -266,17 +272,12 @@ def torch_state_dict_to_variables(state_dict: Dict[str, Any], cfg) -> Dict[str, 
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
 
-    def to_np(v):
-        if hasattr(v, "detach"):
-            v = v.detach().cpu().numpy()
-        return np.asarray(v, dtype=np.float32)
-
     for torch_key, flax_path, tf in params_map:
         if torch_key not in state_dict:
             raise KeyError(f"Missing key in torch checkpoint: {torch_key}")
-        _set_path(params, flax_path, _FWD[tf](to_np(state_dict[torch_key])))
+        _set_path(params, flax_path, _FWD[tf](_to_np(state_dict[torch_key])))
     for torch_key, flax_path, tf in stats_map:
-        _set_path(batch_stats, flax_path, _FWD[tf](to_np(state_dict[torch_key])))
+        _set_path(batch_stats, flax_path, _FWD[tf](_to_np(state_dict[torch_key])))
     return {"params": params, "batch_stats": batch_stats}
 
 
@@ -348,19 +349,28 @@ def import_torchvision_backbone(
     """
     params_map, stats_map = _resnet34_mapping()
 
-    def to_np(v):
-        if hasattr(v, "detach"):
-            v = v.detach().cpu().numpy()
-        return np.asarray(v, dtype=np.float32)
-
     out = {k: _copy_tree(v) for k, v in variables.items()}
+    # Clear error for the wrong-encoder case (e.g. MODEL.PERCEPTION=tiny in
+    # the CPU smoke recipes) instead of a bare KeyError deep in the walk.
+    # The tiny encoder shares shallow names like perception/conv1, so probe
+    # a resnet34-distinctive deep path (layer4.2) in params AND stats.
+    try:
+        _get_path(out["params"], params_map[0][1])
+        _get_path(out["params"], ("perception", "layer4_2", "bn2", "bias"))
+        _get_path(out["batch_stats"], ("perception", "layer4_2", "bn2", "running_var"))
+    except KeyError:
+        raise ValueError(
+            "TRAIN.PRETRAINED_BACKBONE requires MODEL.PERCEPTION=resnet34 "
+            "(the model's perception subtree does not match the torchvision "
+            "resnet34 layout)"
+        ) from None
     for torch_key, flax_path, tf in params_map:
         if flax_path[:2] == ("perception", "fc"):
             continue  # fresh time_dim head, not ImageNet's 1000-way fc
         key = torch_key[len("perception."):]
         if key not in state_dict:
             raise KeyError(f"Missing key in torchvision state_dict: {key}")
-        arr = _FWD[tf](to_np(state_dict[key]))
+        arr = _FWD[tf](_to_np(state_dict[key]))
         have = np.asarray(_get_path(out["params"], flax_path))
         if tuple(arr.shape) != tuple(have.shape):
             raise ValueError(
@@ -371,9 +381,13 @@ def import_torchvision_backbone(
         key = torch_key[len("perception."):]
         if key not in state_dict:
             raise KeyError(f"Missing key in torchvision state_dict: {key}")
-        _set_path(
-            out.setdefault("batch_stats", {}), flax_path, _FWD[tf](to_np(state_dict[key]))
-        )
+        arr = _FWD[tf](_to_np(state_dict[key]))
+        have = np.asarray(_get_path(out["batch_stats"], flax_path))
+        if tuple(arr.shape) != tuple(have.shape):
+            raise ValueError(
+                f"{key}: torchvision shape {arr.shape} != model {have.shape}"
+            )
+        _set_path(out["batch_stats"], flax_path, arr)
     return out
 
 

@@ -62,8 +62,10 @@ def make_optimizer(lr: float, warmup_steps: int, decay_steps: int = 0):
     converged average — the r4 distill regression postmortem)."""
     if decay_steps > 0:
         # optax counts warmup inside decay_steps; a run shorter than the
-        # warmup (tiny test stages) degenerates to warmup-only
-        warmup_steps = max(min(warmup_steps, decay_steps - 1), 1)
+        # warmup (tiny test stages) degenerates to warmup-only. The floor
+        # must be 0, not 1: at decay_steps=1 a warmup of 1 would leave the
+        # cosine segment with zero steps, which optax rejects.
+        warmup_steps = max(min(warmup_steps, decay_steps - 1), 0)
         schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=lr,

@@ -189,9 +189,12 @@ def main():
         student_params = state.ema.shadow_params
         export_state = create_train_state(model, {"params": student_params,
                                                   "batch_stats": batch_stats}, cfg)
+        # keep create_train_state's FRESH optimizer moments: the stage's
+        # Adam moments describe the raw-iterate trajectory, not the deployed
+        # EMA weights — a fine-tune resumed from a student .pth must warm
+        # its preconditioner from scratch rather than inherit a mismatch
         export_state = export_state._replace(
             params=student_params,
-            opt_state=state.opt_state,
             ema=EmaState(
                 shadow_params=student_params,
                 optimization_step=jnp.asarray(int(state.step), jnp.int32),

@@ -94,7 +94,13 @@ def main():
         cfg, env, planner=planner, bev_save_path=args.save_bev_path,
         plot_on_world=args.plot_on_world, pipelined=args.pipelined,
     )
-    steps = agent.run(max_steps=args.max_steps)
+    try:
+        steps = agent.run(max_steps=args.max_steps)
+    finally:
+        # join the pipelined worker, drop any in-flight plan
+        close = getattr(agent, "close", None)
+        if close is not None:
+            close()
     print(f"Closed loop finished after {steps} steps")
     if server is not None:
         server.stop()

@@ -429,3 +429,19 @@ def test_distill_cli_end_to_end(tmp_path):
     planner = DiffusionPlanner(pcfg, checkpoint=four["checkpoint"])
     traj = planner.plan(np.zeros((32, 48, 3), np.uint8))
     assert traj.shape == (1, 16, 7) and np.all(np.isfinite(traj))
+
+
+def test_make_optimizer_one_step_stage():
+    """decay_steps=1 must degenerate to a single cosine step (warmup 0) —
+    with a warmup floor of 1 optax would reject the zero-step cosine
+    segment with ValueError."""
+    import optax  # noqa: F401
+
+    from autonomous_driving_with_diffusion_model_tpu.train.state import make_optimizer
+
+    for ds in (1, 2):
+        opt = make_optimizer(1e-4, warmup_steps=20, decay_steps=ds)
+        params = {"w": jnp.zeros(3)}
+        st = opt.init(params)
+        updates, _ = opt.update({"w": jnp.ones(3)}, st, params)
+        assert np.all(np.isfinite(np.asarray(updates["w"])))

@@ -80,3 +80,25 @@ def test_console_main_returns_zero(tmp_path):
         "--opts", *AGENT_OPTS,
     ])
     assert rc == 0
+
+
+def test_build_routes_endless_default_mirrors_env():
+    """A task without the 'endless' key is endless exactly when it has no
+    ego_route — the same default CarlaDrivingEnv applies — so a step-capped
+    partial on such a task is not mis-scored 'Failed'."""
+    from types import SimpleNamespace
+
+    from autonomous_driving_with_diffusion_model_tpu.driving.evaluate_cli import (
+        build_routes,
+    )
+
+    pts = [SimpleNamespace(x=0.0, y=0.0), SimpleNamespace(x=3.0, y=4.0)]
+    tasks = [
+        {"route_id": 0, "weather": "ClearNoon"},                      # no key, no route
+        {"route_id": 1, "weather": "ClearNoon", "ego_route": pts},    # no key, has route
+        {"route_id": 2, "weather": "ClearNoon", "endless": True, "ego_route": pts},
+        {"route_id": 3, "weather": "ClearNoon", "endless": False},
+    ]
+    routes = build_routes("Endless-v0", tasks)
+    assert [r["endless"] for r in routes] == [True, False, True, False]
+    assert routes[1]["length_m"] == pytest.approx(5.0)

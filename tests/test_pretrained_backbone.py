@@ -123,3 +123,42 @@ def test_shape_mismatch_raises(reference_modeling, imagenet_sd):
     missing = {k: v for k, v in imagenet_sd.items() if "layer4" not in k}
     with pytest.raises(KeyError, match="layer4"):
         import_torchvision_backbone(variables, missing)
+
+
+def test_batch_stats_shape_mismatch_raises(reference_modeling, imagenet_sd):
+    """Running stats are validated like params — a wrong-shaped running_mean
+    must fail loudly at the load site, not as a broadcast error mid-train."""
+    from autonomous_driving_with_diffusion_model_tpu.models.torch_convert import (
+        import_torchvision_backbone,
+    )
+
+    cfg = make_cfg("NO_GUIDANCE", dim=16)
+    _, _, variables = build_pair(reference_modeling, cfg)
+    bad = dict(imagenet_sd)
+    bad["bn1.running_mean"] = torch.zeros(32)  # 64 in the real layout
+    with pytest.raises(ValueError, match="bn1.running_mean"):
+        import_torchvision_backbone(variables, bad)
+
+
+def test_non_resnet34_perception_raises_clearly(imagenet_sd):
+    """TRAIN.PRETRAINED_BACKBONE with MODEL.PERCEPTION=tiny (the CPU smoke
+    recipes) must raise the explicit ValueError, not a bare KeyError from
+    deep inside the pytree walk."""
+    import jax
+
+    from autonomous_driving_with_diffusion_model_tpu.models import build_model
+    from autonomous_driving_with_diffusion_model_tpu.models.torch_convert import (
+        import_torchvision_backbone,
+    )
+
+    cfg = make_cfg("NO_GUIDANCE", dim=16)
+    cfg.MODEL.PERCEPTION = "tiny"
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 16, 7), np.float32),
+        img=np.zeros((1, 32, 48, 3), np.float32),
+        time=np.asarray([1.0], np.float32),
+    )
+    with pytest.raises(ValueError, match="MODEL.PERCEPTION=resnet34"):
+        import_torchvision_backbone(dict(variables), imagenet_sd)
