@@ -768,3 +768,219 @@ def test_weather_handler_parity_vs_reference(monkeypatch):
         directions.add(ours.storm._increasing)
     # both direction flips actually happened in-window
     assert directions == {True, False}
+
+
+def test_valeo_stuck_terminal_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``Valeo.get`` (terminal/valeo.py:13-170 — the
+    RL variant that replaces the 90 s Blocked with a 100-tick free-road
+    stuck counter and puts lat-dist in the done mask) over mock carla on
+    randomized stateful episodes, and reconcile our ``ValeoStuckTerminal``:
+    the free-road gate (lbc hazards @9.5 m + non-green light), the 10-tick
+    mean-speed stuck counter, done/timeout/terminal-reward, and the
+    exploration suggestions (("go","")/("","turn")/("stop",""))."""
+    from collections import deque
+
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    import carla_gym.utils.traffic_light as ref_tl
+    from carla_gym.core.task_actor.ego_vehicle.terminal.valeo import Valeo
+
+    light_box = {}
+    monkeypatch.setattr(
+        ref_tl.TrafficLightHandler,
+        "get_light_state",
+        staticmethod(lambda vehicle, offset=0.0, dist_threshold=18.0: light_box["v"]),
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.terminal import (
+        ValeoStuckTerminal,
+    )
+
+    def rand_obs(n=4):
+        return {
+            "binary_mask": rng.integers(0, 2, n),
+            "rotation": rng.uniform(-180, 180, (n, 3)),
+            "location": rng.uniform(-12, 12, (n, 3)),
+            "on_sidewalk": rng.integers(0, 2, n),
+        }
+
+    for episode in range(8):
+        eval_mode = episode % 2 == 1
+        obs_box = {}
+        ref = Valeo.__new__(Valeo)
+        ref._exploration_suggest = True
+        ref.om_vehicle = SimpleNamespace(get_observation=lambda: obs_box["veh"])
+        ref.om_pedestrian = SimpleNamespace(get_observation=lambda: obs_box["ped"])
+        ref._vehicle_stuck_step = 6  # shrink 100 so the stuck done fires
+        ref._vehicle_stuck_counter = 0
+        ref._speed_queue = deque(maxlen=10)
+        ref._tl_offset = -1.9
+        ref._last_lat_dist = 0.0
+        ref._min_thresh_lat_dist = 3.5
+        ref._eval_mode = eval_mode
+        ref._eval_time = 1200
+        ours = ValeoStuckTerminal(
+            exploration_suggest=True, eval_mode=eval_mode, stuck_steps=6
+        )
+
+        ev_xy = rng.uniform(-5, 5, 2)
+        for step in range(16):
+            # crawl (speeds mostly < 1 m/s) so the stuck counter advances,
+            # with occasional bursts that reset it
+            speed_scale = 0.4 if step % 7 else 3.0
+            vel = rng.uniform(-1, 1, 2) * speed_scale
+            ev_xy = ev_xy + rng.uniform(-0.3, 0.3, 2)
+            wp_xy = ev_xy + rng.uniform(-4, 4, 2)
+            wp_yaw = float(rng.uniform(-180, 180))
+            obs_box["veh"], obs_box["ped"] = rand_obs(), rand_obs()
+            state_pick = ["Red", "Green", None, "Yellow"][step % 4]
+            if state_pick is None:
+                light_box["v"] = (None, None, None)
+            else:
+                light_box["v"] = (
+                    getattr(mock_carla.TrafficLightState, state_pick),
+                    np.asarray(rng.uniform(-10, 10, 3), np.float32),
+                    None,
+                )
+            info = {
+                "blocked": {"step": step} if rng.uniform() < 0.05 else None,
+                "run_red_light": {"step": step} if rng.uniform() < 0.05 else None,
+                "collision": {"step": step} if rng.uniform() < 0.05 else None,
+                "run_stop_sign": (
+                    {"event": "run" if rng.uniform() < 0.5 else "stop"}
+                    if rng.uniform() < 0.1
+                    else None
+                ),
+            }
+            sim_time = 1192.0 + step * 1.0 if eval_mode else 0.1 * step
+
+            ref._ego_vehicle = SimpleNamespace(
+                info_criteria=info,
+                vehicle=SimpleNamespace(
+                    get_location=lambda xy=ev_xy: mock_carla.Location(*xy),
+                    get_velocity=lambda v=vel: SimpleNamespace(
+                        x=float(v[0]), y=float(v[1]), z=0.0
+                    ),
+                ),
+                get_route_transform=lambda xy=wp_xy, yaw=wp_yaw: mock_carla.Transform(
+                    mock_carla.Location(*xy), mock_carla.Rotation(yaw=yaw)
+                ),
+            )
+            ref_done, ref_timeout, ref_reward, ref_debug = ref.get(
+                {"relative_simulation_time": sim_time}
+            )
+
+            # our input spec: free road from the same tested hazard cones
+            h_veh = lbc_hazard_vehicle(obs_box["veh"], proximity_threshold=9.5)
+            h_ped = lbc_hazard_walker(obs_box["ped"], proximity_threshold=9.5)
+            is_free_road = (
+                h_veh is None
+                and h_ped is None
+                and (state_pick is None or state_pick == "Green")
+            )
+            our_done, our_timeout, our_reward, our_debug = ours.get(
+                sim_time,
+                (float(ev_xy[0]), float(ev_xy[1]), 0.0),
+                float(np.linalg.norm(vel)),
+                (float(wp_xy[0]), float(wp_xy[1])),
+                wp_yaw,
+                is_free_road,
+                info["blocked"],
+                info["run_red_light"],
+                info["collision"],
+                info["run_stop_sign"],
+            )
+            key = (episode, step)
+            assert our_done == ref_done, key
+            assert our_timeout == ref_timeout, key
+            assert our_reward == pytest.approx(ref_reward, rel=1e-5, abs=1e-5), key
+            assert (
+                our_debug["exploration_suggest"]
+                == ref_debug["exploration_suggest"]
+            ), key
+            # stuck counter + free-road flag from the reference debug text
+            # ("{counter:3}/{step} fre:X stu:Y blo:Z")
+            t0 = ref_debug["debug_texts"][0]
+            assert our_debug["stuck_counter"] == int(t0.split("/")[0]), key
+            assert int(t0.split("fre:")[1][0]) == int(is_free_road), key
+            latd_txt = ref_debug["debug_texts"][3]
+            assert our_debug["c_lat_dist"] == bool(int(latd_txt.split("latd:")[1][0])), key
+
+
+def test_leaderboard_terminals_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``Leaderboard`` and ``LeaderboardDagger``
+    terminals (terminal/leaderboard.py:1-36, leaderboard_dagger.py:1-67)
+    over mock info_criteria on randomized cases and reconcile ours,
+    including the per-infraction gating flags and max-time handling."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.ego_vehicle.terminal.leaderboard import (
+        Leaderboard,
+    )
+    from carla_gym.core.task_actor.ego_vehicle.terminal.leaderboard_dagger import (
+        LeaderboardDagger,
+    )
+    from autonomous_driving_with_diffusion_model_tpu.sim.terminal import (
+        LeaderboardDaggerTerminal,
+        LeaderboardTerminal,
+    )
+
+    for case in range(60):
+        info = {
+            "route_completion": {
+                "is_route_completed": bool(rng.uniform() < 0.2)
+            },
+            "blocked": {"s": case} if rng.uniform() < 0.2 else None,
+            "route_deviation": {"s": case} if rng.uniform() < 0.2 else None,
+            "collision": {"s": case} if rng.uniform() < 0.2 else None,
+            "run_red_light": {"s": case} if rng.uniform() < 0.2 else None,
+            "run_stop_sign": (
+                {"event": "run" if rng.uniform() < 0.5 else "stop"}
+                if rng.uniform() < 0.3
+                else None
+            ),
+        }
+        ego = SimpleNamespace(info_criteria=info)
+        max_time = [None, 100.0][case % 2]
+        sim_time = float(rng.uniform(0, 200))
+        ts = {"relative_simulation_time": sim_time}
+
+        ref_lb = Leaderboard(ego, max_time=max_time)
+        our_lb = LeaderboardTerminal(max_time=max_time)
+        r = ref_lb.get(ts)
+        o = our_lb.get(
+            sim_time,
+            info["route_completion"]["is_route_completed"],
+            info["blocked"],
+            info["route_deviation"],
+        )
+        assert o[:3] == r[:3], case
+        assert o[3]["blocked"] == r[3]["blocked"], case
+        assert o[3]["route_deviation"] == r[3]["route_deviation"], case
+
+        gates = dict(
+            no_collision=bool(rng.uniform() < 0.7),
+            no_run_rl=bool(rng.uniform() < 0.7),
+            no_run_stop=bool(rng.uniform() < 0.7),
+        )
+        ref_dg = LeaderboardDagger(ego, max_time=150.0, **gates)
+        our_dg = LeaderboardDaggerTerminal(max_time=150.0, **gates)
+        r = ref_dg.get(ts)
+        o = our_dg.get(
+            sim_time,
+            info["blocked"],
+            info["route_deviation"],
+            info["collision"],
+            info["run_red_light"],
+            info["run_stop_sign"],
+        )
+        assert o[:3] == r[:3], case
+        for k in ("traffic_rule_violated", "blocked", "route_deviation"):
+            assert o[3][k] == r[3][k], (case, k)
