@@ -984,3 +984,53 @@ def test_leaderboard_terminals_parity_vs_reference(monkeypatch, rng):
         assert o[:3] == r[:3], case
         for k in ("traffic_rule_violated", "blocked", "route_deviation"):
             assert o[3][k] == r[3][k], (case, k)
+
+
+def test_encounter_light_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``EncounterLight.tick`` (criteria/
+    encounter_light.py:4-26) with a scripted light-state sequence and
+    reconcile our dedup-by-last-id semantics and info records stepwise."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    import carla_gym.utils.traffic_light as ref_tl
+    from carla_gym.core.task_actor.common.criteria.encounter_light import (
+        EncounterLight as RefEncounterLight,
+    )
+
+    light_box = {}
+    monkeypatch.setattr(
+        ref_tl.TrafficLightHandler,
+        "get_light_state",
+        staticmethod(lambda vehicle, offset=0.0, dist_threshold=7.5: light_box["v"]),
+    )
+
+    ref = RefEncounterLight()
+    ours = EncounterLight()
+    # same light twice, a gap, a new light, back to the first: dedup fires
+    # on every CHANGE of affecting light id, not just the first encounter
+    script = [7, 7, None, 7, 9, 9, None, None, 9, 7]
+    for step, lid in enumerate(script):
+        if lid is None:
+            light_box["v"] = (None, None, None)
+        else:
+            light_box["v"] = (
+                mock_carla.TrafficLightState.Red,
+                np.asarray(rng.uniform(-10, 10, 3), np.float32),
+                lid,
+            )
+        ts = {"relative_simulation_time": 0.1 * step, "step": step}
+        r = ref.tick(SimpleNamespace(), ts)
+        o = ours.tick(
+            lid,
+            light_box["v"][1],
+            sim_time=0.1 * step,
+            step=step,
+        )
+        assert (r is None) == (o is None), (step, lid)
+        if r is not None:
+            assert o["id"] == r["id"] and o["step"] == r["step"], step
+            np.testing.assert_allclose(o["tl_loc"], r["tl_loc"])
