@@ -4,7 +4,9 @@ Pure re-design of the roach scripted expert (reference:
 carla_gym/core/task_actor/scenario_actor/agents/utils/local_planner.py:23-82
 and controller.py:4-30): command-aware target-waypoint selection with 7.5/5 m
 thresholds, lateral PID on the arctan2 heading error, longitudinal PID on the
-speed delta (0.75x target speed in turns), window-30 PID with dt = 0.1 s.
+speed delta, window-30 PID with dt = 0.1 s. NOTE the reference's 0.75x "turn"
+slowdown actually applies on EVERY step (an Enum-vs-int comparison that never
+matches, local_planner.py:70-71) — reproduced by default, see LocalPlanner.
 Hazard gating (vehicle/walker/red light -> full brake) lives in
 ``sim.reward.lbc_hazard_*``; TaskVehicle equivalents compose the two
 (reference: task_vehicle.py:303-328).
@@ -69,6 +71,7 @@ class LocalPlanner:
         lateral_pid_params=(0.75, 0.05, 0.0),
         threshold_before=7.5,
         threshold_after=5.0,
+        strict_reference=True,
     ):
         self._target_speed = target_speed
         self._speed_pid = ExpertPID(longitudinal_pid_params)
@@ -77,6 +80,14 @@ class LocalPlanner:
         self._threshold_after = threshold_after
         self._max_skip = 20
         self._last_command = 4
+        # The reference compares the target_command ROADOPTION ENUM against
+        # the int list [3, 4] (local_planner.py:70-71) — a plain Enum never
+        # equals an int, so its expert applies the 0.75 "turn" slowdown on
+        # EVERY step, i.e. actually drives at 0.75 * target_speed always.
+        # The published dataset was collected that way, so strict mode
+        # (default) reproduces it; strict_reference=False gives the
+        # evidently-intended turns-only slowdown (PARITY.md).
+        self._strict_reference = strict_reference
 
     def run_step(
         self,
@@ -107,7 +118,7 @@ class LocalPlanner:
         steer = self._turn_pid.step(theta)
 
         target_speed = self._target_speed
-        if target_command not in (3, 4):
+        if self._strict_reference or target_command not in (3, 4):
             target_speed *= 0.75
         throttle = self._speed_pid.step(target_speed - actor_speed)
 

@@ -271,13 +271,21 @@ def test_local_planner_drives_toward_waypoint():
     lp2 = LocalPlanner(target_speed=6.0)
     throttle2, steer2, _ = lp2.run_step([((5.0, 5.0), 4)], (0.0, 0.0), 0.0, 6.0)
     assert steer2 > 0.1
-    # non-lanefollow command scales target speed by 0.75: at 5.5 m/s actual,
-    # lanefollow target 6.0 still accelerates, turn target 4.5 doesn't
+    # strict mode (default) reproduces the reference's enum-vs-int quirk:
+    # 0.75x target speed on EVERY command (PARITY.md reproduced-quirk #7),
+    # so lanefollow and turn behave identically
     lp3 = LocalPlanner(target_speed=6.0)
     t_lane, _, _ = lp3.run_step([((5.0, 0.0), 4)], (0.0, 0.0), 0.0, 5.5)
     lp4 = LocalPlanner(target_speed=6.0)
     t_turn, _, _ = lp4.run_step([((5.0, 0.0), 1)], (0.0, 0.0), 0.0, 5.5)
-    assert t_turn < t_lane
+    assert t_turn == t_lane
+    # the intended turns-only slowdown is available as strict_reference=False:
+    # at 5.5 m/s actual, lanefollow target 6.0 accelerates, turn 4.5 doesn't
+    lp5 = LocalPlanner(target_speed=6.0, strict_reference=False)
+    t_lane_i, _, _ = lp5.run_step([((5.0, 0.0), 4)], (0.0, 0.0), 0.0, 5.5)
+    lp6 = LocalPlanner(target_speed=6.0, strict_reference=False)
+    t_turn_i, _, _ = lp6.run_step([((5.0, 0.0), 1)], (0.0, 0.0), 0.0, 5.5)
+    assert t_turn_i < t_lane_i
 
 
 def test_collision_dedup_matches_reference(monkeypatch, rng):
@@ -1034,3 +1042,78 @@ def test_encounter_light_parity_vs_reference(monkeypatch, rng):
         if r is not None:
             assert o["id"] == r["id"] and o["step"] == r["step"], step
             np.testing.assert_allclose(o["tl_loc"], r["tl_loc"])
+
+
+def test_local_planner_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference expert's ``LocalPlanner.run_step``
+    (scenario_actor/agents/utils/local_planner.py:23-82 — the controller
+    that produced the training dataset) over mock carla on randomized
+    stateful episodes and reconcile throttle/steer stepwise: the
+    command-aware 7.5/5.0 m waypoint-passing thresholds, the sticky
+    ``_last_command``, ego-frame arctan2 steering through the reference's
+    own transform util, the 0.75x turn speed, and both stateful PIDs."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.scenario_actor.agents.utils.local_planner import (
+        LocalPlanner as RefLocalPlanner,
+        RoadOption,
+    )
+
+    opts = {1: RoadOption.LEFT, 2: RoadOption.RIGHT,
+            3: RoadOption.STRAIGHT, 4: RoadOption.LANEFOLLOW}
+
+    for episode in range(6):
+        # a forward route with a turn segment in the middle
+        n = 25
+        xs = np.cumsum(rng.uniform(1.5, 3.0, n))
+        ys = np.cumsum(rng.uniform(-0.5, 0.5, n))
+        cmds = [4] * n
+        turn_cmd = int(rng.integers(1, 4))
+        turn_at = int(rng.integers(5, 15))
+        for j in range(turn_at, min(turn_at + 5, n)):
+            cmds[j] = turn_cmd
+
+        ref = RefLocalPlanner(target_speed=6.0)
+        ours = LocalPlanner(target_speed=6.0)
+
+        pos = np.array([0.0, 0.0])
+        route_idx = 0
+        for step in range(14):
+            # advance the actor along the route with noise so waypoints pass
+            # in and out of both thresholds
+            pos = pos + np.array([rng.uniform(1.0, 4.0), rng.uniform(-1.0, 1.0)])
+            yaw = float(rng.uniform(-30, 30))
+            speed = float(rng.uniform(0.0, 8.0))
+            # both sides consume the same remaining-route window
+            route_idx = min(route_idx + int(rng.integers(0, 2)), n - 3)
+            window = list(range(route_idx, n))
+            ref_plan = [
+                (
+                    SimpleNamespace(
+                        transform=mock_carla.Transform(
+                            mock_carla.Location(float(xs[j]), float(ys[j]))
+                        )
+                    ),
+                    opts[cmds[j]],
+                )
+                for j in window
+            ]
+            our_plan = [((float(xs[j]), float(ys[j])), cmds[j]) for j in window]
+
+            actor_tf = mock_carla.Transform(
+                mock_carla.Location(float(pos[0]), float(pos[1])),
+                mock_carla.Rotation(yaw=yaw),
+            )
+            r_thr, r_steer, r_brake = ref.run_step(ref_plan, actor_tf, speed)
+            o_thr, o_steer, o_brake = ours.run_step(
+                our_plan, (float(pos[0]), float(pos[1])), yaw, speed
+            )
+            key = (episode, step)
+            assert o_thr == pytest.approx(float(r_thr), rel=1e-6, abs=1e-9), key
+            assert o_steer == pytest.approx(float(r_steer), rel=1e-6, abs=1e-9), key
+            assert o_brake == r_brake == 0.0, key
+            assert ours._last_command == ref._last_command, key
