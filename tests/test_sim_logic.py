@@ -1117,3 +1117,151 @@ def test_local_planner_parity_vs_reference(monkeypatch, rng):
             assert o_steer == pytest.approx(float(r_steer), rel=1e-6, abs=1e-9), key
             assert o_brake == r_brake == 0.0, key
             assert ours._last_command == ref._last_command, key
+
+
+def test_run_red_light_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``RunRedLight.tick`` (criteria/
+    run_red_light.py:6-64) over mock carla with a populated
+    TrafficLightHandler registry and a scripted drive, and reconcile our
+    criterion stepwise: the 30 m trigger-distance gate, the red filter,
+    dedup by last light id, road/lane + direction matching of the tail
+    waypoint, the tail-segment stop-line crossing, and the info record.
+    shapely (absent from this image) is stubbed with an INDEPENDENT
+    segment-intersection (2x2 linear solve), so the geometry predicate is
+    not our own ``segments_intersect``."""
+    import types
+
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+
+    class _LineString:
+        def __init__(self, pts):
+            self.p = np.asarray(pts, np.float64)
+
+        def intersection(self, other):
+            p0, p1 = self.p
+            q0, q1 = other.p
+            a = np.array([p1 - p0, q0 - q1]).T
+            b = q0 - p0
+            det = np.linalg.det(a)
+            if abs(det) < 1e-12:
+                return SimpleNamespace(is_empty=True)  # parallel: scripted
+            t, u = np.linalg.solve(a, b)
+            hit = -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12
+            return SimpleNamespace(is_empty=not hit)
+
+    shp = types.ModuleType("shapely")
+    shp_geom = types.ModuleType("shapely.geometry")
+    shp_geom.LineString = _LineString
+    shp.geometry = shp_geom
+    monkeypatch.setitem(sys.modules, "shapely", shp)
+    monkeypatch.setitem(sys.modules, "shapely.geometry", shp_geom)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    import carla_gym.utils.traffic_light as ref_tl
+    from carla_gym.core.task_actor.common.criteria.run_red_light import (
+        RunRedLight as RefRunRedLight,
+    )
+
+    def make_light(lid, x_stop, state, trigger_xy):
+        actor = SimpleNamespace(
+            id=lid,
+            state=state,
+            get_location=lambda xy=trigger_xy: mock_carla.Location(*xy),
+        )
+        wp = SimpleNamespace(
+            transform=mock_carla.Transform(
+                mock_carla.Location(x_stop, 0.0), mock_carla.Rotation(yaw=0.0)
+            ),
+            road_id=1,
+            lane_id=2,
+        )
+        vtx = (mock_carla.Location(x_stop, -3.0), mock_carla.Location(x_stop, 3.0))
+        return actor, mock_carla.Location(*trigger_xy), [wp], [vtx]
+
+    red = mock_carla.TrafficLightState.Red
+    green = mock_carla.TrafficLightState.Green
+    # light 7: stop line at x=12; light 9: stop line at x=40
+    lights = [make_light(7, 12.0, red, (12.0, 0.0)),
+              make_light(9, 40.0, red, (40.0, 0.0))]
+    for attr, vals in (
+        ("num_tl", len(lights)),
+        ("list_tl_actor", [l[0] for l in lights]),
+        ("list_tv_loc", [l[1] for l in lights]),
+        ("list_stopline_wps", [l[2] for l in lights]),
+        ("list_stopline_vtx", [l[3] for l in lights]),
+    ):
+        monkeypatch.setattr(ref_tl.TrafficLightHandler, attr, vals, raising=False)
+
+    lane_box = {"road": 1, "lane": 2}
+    carla_map = SimpleNamespace(
+        get_waypoint=lambda loc: SimpleNamespace(
+            road_id=lane_box["road"], lane_id=lane_box["lane"]
+        )
+    )
+    ref = RefRunRedLight(carla_map)
+    ours = RunRedLight()
+    extent = 2.0
+
+    fired = []
+    # drive past both stop lines; step 2 flips light 7 green briefly (before
+    # the tail crosses its line at ev_x in [13.6, 15]); step 6 puts the ego
+    # on the wrong lane for a step
+    for step, ev_x in enumerate(np.arange(8.0, 46.0, 1.6)):
+        lights[0][0].state = green if step == 2 else red
+        lane_box["lane"] = 3 if step == 6 else 2
+        tf = mock_carla.Transform(
+            mock_carla.Location(float(ev_x), 0.0), mock_carla.Rotation(yaw=0.0)
+        )
+        vehicle = SimpleNamespace(
+            get_transform=lambda t=tf: t,
+            bounding_box=SimpleNamespace(extent=SimpleNamespace(x=extent)),
+        )
+        ts = {"step": step, "relative_simulation_time": 0.1 * step}
+        r = ref.tick(vehicle, ts)
+
+        # our input spec: the same registry rendered as LightObservations,
+        # tail points through the same (mock-executed) transform math
+        tail_close = tf.transform(mock_carla.Location(x=-0.8 * extent))
+        tail_far = tf.transform(mock_carla.Location(x=-extent - 1.0))
+        obs_lights = []
+        for actor, tv_loc, wps, vtxs in lights:
+            obs_lights.append(
+                LightObservation(
+                    id=actor.id,
+                    is_red=actor.state == red,
+                    trigger_loc=(tv_loc.x, tv_loc.y),
+                    stop_lines=[
+                        StopLine(
+                            wp_forward=(1.0, 0.0),
+                            road_id=wp.road_id,
+                            lane_id=wp.lane_id,
+                            left=(v[0].x, v[0].y),
+                            right=(v[1].x, v[1].y),
+                        )
+                        for wp, v in zip(wps, vtxs)
+                    ],
+                    loc=(tv_loc.x, tv_loc.y, 0.0),
+                )
+            )
+        o = ours.tick(
+            (float(ev_x), 0.0, 0.0),
+            (1.0, 0.0),
+            (tail_close.x, tail_close.y),
+            (tail_far.x, tail_far.y),
+            lane_box["road"],
+            lane_box["lane"],
+            obs_lights,
+            sim_time=0.1 * step,
+            step=step,
+        )
+        assert (r is None) == (o is None), (step, float(ev_x), r, o)
+        if r is not None:
+            assert o["id"] == r["id"] and o["step"] == r["step"], step
+            np.testing.assert_allclose(o["tl_loc"], r["tl_loc"])
+            np.testing.assert_allclose(o["ev_loc"], r["ev_loc"])
+            fired.append(r["id"])
+    # both lights actually fired exactly once each, in order
+    assert fired == [7, 9]
