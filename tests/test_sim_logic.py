@@ -1265,3 +1265,70 @@ def test_run_red_light_parity_vs_reference(monkeypatch, rng):
             fired.append(r["id"])
     # both lights actually fired exactly once each, in order
     assert fired == [7, 9]
+
+
+def test_process_obs_parity_vs_reference(monkeypatch, rng):
+    """EXECUTE the reference's ``RlCameraWrapper.process_obs``
+    (env_agents/rl_camera/utils/rl_camera_wrapper.py:213-265 — the obs
+    contract every agent consumes) on randomized nested obs dicts across
+    input_states subsets and both train/eval modes, and reconcile our
+    ``sim.obs.process_obs`` key by key."""
+    import mock_carla
+
+    monkeypatch.setitem(sys.modules, "carla", mock_carla)
+    for name in list(sys.modules):
+        if name.startswith("env_agents") or name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from env_agents.rl_camera.utils.rl_camera_wrapper import RlCameraWrapper
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.obs import process_obs
+
+    all_states = ["yaw", "speed_norm", "speed", "speed_limit", "control",
+                  "acc_xy", "vel_xy", "vel_ang_z"]
+    # the collector config's actual gate set, plus randomized subsets
+    subsets = [
+        ["speed", "control", "vel_xy"],
+        all_states,
+    ] + [
+        [s for s in all_states if rng.uniform() < 0.5] or ["speed"]
+        for _ in range(6)
+    ]
+    for i, input_states in enumerate(subsets):
+        obs = {
+            "speed": {
+                "yaw": rng.uniform(-np.pi, np.pi, 1).astype(np.float32),
+                "speed": rng.uniform(0, 10, 1).astype(np.float32),
+                "speed_xy": rng.uniform(0, 10, 1).astype(np.float32),
+            },
+            "control": {
+                "speed_limit": rng.uniform(0, 1, 1).astype(np.float32),
+                "throttle": rng.uniform(0, 1, 1).astype(np.float32),
+                "steer": rng.uniform(-1, 1, 1).astype(np.float32),
+                "brake": rng.uniform(0, 1, 1).astype(np.float32),
+                "gear": np.asarray([float(rng.integers(0, 6))], np.float32),
+            },
+            "velocity": {
+                "acc_xy": rng.uniform(-5, 5, 2).astype(np.float32),
+                "vel_xy": rng.uniform(-10, 10, 2).astype(np.float32),
+                "vel_ang_z": rng.uniform(-1, 1, 1).astype(np.float32),
+            },
+            "camera": {
+                "data": rng.integers(0, 255, (8, 12, 3)).astype(np.uint8),
+                "bev_data": rng.integers(0, 255, (8, 8, 3)).astype(np.uint8),
+                "compass": rng.uniform(0, 2 * np.pi, 1).astype(np.float32),
+            },
+            "traffic_light": {"at_red_light": int(rng.integers(0, 2))},
+            "cur_waypoint": rng.uniform(-100, 100, 2).astype(np.float32),
+            "target_waypoint": rng.uniform(-100, 100, 2).astype(np.float32),
+            "next_waypoint": rng.uniform(-100, 100, 2).astype(np.float32),
+            "next_command": np.asarray(int(rng.integers(0, 7))),
+        }
+        for train in (True, False):
+            r = RlCameraWrapper.process_obs(obs, input_states, train=train)
+            o = process_obs(obs, input_states, train=train)
+            assert set(o) == set(r), (i, train)
+            for k in r:
+                np.testing.assert_array_equal(
+                    np.asarray(o[k]), np.asarray(r[k]), err_msg=f"{i}/{train}/{k}"
+                )
+                assert np.asarray(o[k]).dtype == np.asarray(r[k]).dtype, (i, train, k)
