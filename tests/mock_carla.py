@@ -47,6 +47,16 @@ class LaneType:
     Any = "Any"
 
 
+class LaneChange:
+    """Bit flags mirroring carla.LaneChange (route planners AND these against
+    waypoint lane markings when placing lane-change graph links)."""
+
+    NONE = 0
+    Right = 1
+    Left = 2
+    Both = 3
+
+
 class _Command(SimpleNamespace):
     """Batched-command stand-ins (carla.command.*); recorded, not executed."""
 
@@ -550,6 +560,11 @@ class Waypoint:
     object_crash_vehicle.py:309-325)."""
 
     lane_type = LaneType.Driving
+    # solid single-lane road: no lane changes permitted anywhere (both the
+    # first-party and the reference global route planners AND these markings
+    # against carla.LaneChange when placing zero-cost lane-change links)
+    right_lane_marking = SimpleNamespace(lane_change=LaneChange.NONE)
+    left_lane_marking = SimpleNamespace(lane_change=LaneChange.NONE)
 
     def __init__(self, x, y=0.0):
         self.x = float(x)

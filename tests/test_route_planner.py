@@ -1,10 +1,15 @@
 """First-party global route planner: topology graph, A*, RoadOption commands,
-leaderboard plan manipulation, endless route tracking, env integration."""
+leaderboard plan manipulation, endless route tracking, env integration —
+plus an executed-reference oracle (the reference's networkx GlobalRoutePlanner
+run over the same mock map, reference:
+carla_gym/core/task_actor/common/navigation/global_route_planner.py)."""
 
 import sys
 
 import numpy as np
 import pytest
+
+REF = "/root/reference"
 
 
 @pytest.fixture
@@ -120,6 +125,67 @@ def test_route_tracker_endless_extension(mock, planner):
     assert tracker.route_length >= 70.0
     xs = [wp.transform.location.x for wp, _ in tracker.route]
     assert all(b >= a - 1e-9 for a, b in zip(xs, xs[1:]))  # forward-only chain
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference oracle: the reference's networkx planner over the SAME
+# mock map must produce the SAME waypoint trace and RoadOption commands as
+# the first-party heapq-A* planner (reference global_route_planner.py:431-497).
+
+
+@pytest.fixture
+def ref_planner(mock, monkeypatch):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # fresh import so the reference modules bind to the mocked carla
+    for name in list(sys.modules):
+        if name == "carla_gym" or name.startswith("carla_gym."):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from carla_gym.core.task_actor.common.navigation.global_route_planner import (
+        GlobalRoutePlanner as RefGRP,
+    )
+
+    return RefGRP(mock._Map(), resolution=1.0)
+
+
+def _xy(route):
+    return [
+        (round(wp.transform.location.x, 6), round(wp.transform.location.y, 6))
+        for wp, _ in route
+    ]
+
+
+def _cmds(route):
+    return [opt.name for _, opt in route]
+
+
+@pytest.mark.parametrize(
+    "ox,dx",
+    [
+        (5.0, 85.0),  # through the junction
+        (5.0, 140.0),  # near the far road end
+        (40.0, 120.0),  # mid-road start
+        (66.0, 140.0),  # origin inside the junction
+        (5.0, 63.0),  # destination inside the junction
+        (80.0, 95.0),  # short hop on the exit road
+    ],
+)
+def test_trace_route_oracle_vs_reference(mock, planner, ref_planner, ox, dx):
+    ref_route = ref_planner.trace_route(mock.Location(x=ox), mock.Location(x=dx))
+    our_route = planner.trace_route(mock.Location(x=ox), mock.Location(x=dx))
+    assert _xy(our_route) == _xy(ref_route)
+    assert _cmds(our_route) == _cmds(ref_route)
+
+
+def test_abstract_route_plan_oracle_vs_reference(mock, planner, ref_planner):
+    for ox, dx in [(5.0, 85.0), (40.0, 140.0)]:
+        ref_plan = ref_planner.abstract_route_plan(
+            mock.Location(x=ox), mock.Location(x=dx)
+        )
+        our_plan = planner.abstract_route_plan(
+            mock.Location(x=ox), mock.Location(x=dx)
+        )
+        assert [o.name for o in our_plan] == [o.name for o in ref_plan]
 
 
 def test_env_uses_first_party_planner(mock, monkeypatch):
