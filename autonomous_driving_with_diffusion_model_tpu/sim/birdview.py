@@ -132,10 +132,15 @@ class BirdviewRenderer:
         for p0, p1 in stoplines:
             px = np.array([[self._world_to_pixel(p0)], [self._world_to_pixel(p1)]])
             warped = cv.transform(px, M)
+            # Endpoints TRUNCATE toward zero, not round: the reference passes
+            # raw float pixels to cv.line (chauffeurnet.py:309-321) and its
+            # deployed opencv-python==4.2.0.32 (leaderboard/requirements.txt:3)
+            # converted them through np.float32.__int__ — a C-style cast.
+            # Reproduced quirk; see docs/PARITY.md.
             cv.line(
                 mask,
-                tuple(np.round(warped[0, 0]).astype(int)),
-                tuple(np.round(warped[1, 0]).astype(int)),
+                tuple(warped[0, 0].astype(int)),
+                tuple(warped[1, 0].astype(int)),
                 color=1,
                 thickness=6,
             )

@@ -582,9 +582,27 @@ class CarlaDrivingEnv:
             out.append(((tf.location.x, tf.location.y), tf.rotation.yaw, ext))
         return out
 
+    def _birdview_stops(self):
+        """The targeted, not-yet-completed stop sign as a square oriented box
+        for the birdview (reference chauffeurnet.py:107-118 _get_stops:
+        trigger-volume offset composed through the sign's transform, extent
+        squared to max(x, y))."""
+        target_id = self.run_stop_sign.target_stop_id
+        if target_id is None or self.run_stop_sign.stop_completed:
+            return []
+        sign = self.stop_registry.get(target_id)
+        if sign is None:
+            return []
+        trans = sign.get_transform()
+        tv = sign.trigger_volume
+        center = trans.transform(tv.location)
+        m = max(float(tv.extent.x), float(tv.extent.y))
+        return [((center.x, center.y), trans.rotation.yaw, (m, m))]
+
     def _birdview_obs(self):
         """Chauffeurnet masks around the ego (reference chauffeurnet.py
-        get_observation: actors + per-color stop lines + route polyline)."""
+        get_observation: actors + per-color stop lines + the targeted stop
+        sign + route polyline)."""
         tf = self.ego.get_transform()
         pos = (tf.location.x, tf.location.y)
         route_xy = np.asarray(
@@ -600,6 +618,7 @@ class CarlaDrivingEnv:
             tl_green=self.tl_registry.get_stopline_vtx(pos, 0),
             tl_yellow=self.tl_registry.get_stopline_vtx(pos, 1),
             tl_red=self.tl_registry.get_stopline_vtx(pos, 2),
+            stops=self._birdview_stops(),
             route_xy=route_xy if len(route_xy) else None,
         )
 

@@ -150,6 +150,8 @@ class Vector2D:
 
 class Vector3D:
     def __init__(self, x=0.0, y=0.0, z=0.0):
+        if hasattr(x, "x"):  # copy-constructor, like real carla.Vector3D
+            x, y, z = x.x, x.y, x.z
         self.x, self.y, self.z = float(x), float(y), float(z)
 
     def __mul__(self, s):
@@ -162,6 +164,25 @@ class Vector3D:
 
     def __sub__(self, other):
         return Vector3D(self.x - other.x, self.y - other.y, self.z - other.z)
+
+
+class BoundingBox:
+    """Oriented box (carla.BoundingBox): ``location`` is the center offset in
+    the owner's frame (or a world-space center for level bbs), ``extent`` the
+    half-sizes."""
+
+    def __init__(self, location=None, extent=None, rotation=None):
+        self.location = location if location is not None else Location()
+        self.extent = extent if extent is not None else Vector3D()
+        self.rotation = rotation if rotation is not None else Rotation()
+
+
+class CityObjectLabel:
+    """Semantic level-object classes (carla.CityObjectLabel; the reference
+    birdview queries Vehicles/Pedestrians, chauffeurnet.py:139-140)."""
+
+    Vehicles = "Vehicles"
+    Pedestrians = "Pedestrians"
 
 
 class WalkerControl:
@@ -211,9 +232,7 @@ class _Vehicle:
         self.control = VehicleControl()
         self.type_id = "vehicle.lincoln.mkz2017"
         self.alive = True
-        self.bounding_box = SimpleNamespace(
-            extent=SimpleNamespace(x=2.45, y=1.06, z=0.75)
-        )
+        self.bounding_box = BoundingBox(extent=Vector3D(2.45, 1.06, 0.75))
 
     # --- carla.Vehicle surface
     def get_location(self):
@@ -362,6 +381,7 @@ class _Walker:
         self.transform = Transform(
             Location(transform.location.x, transform.location.y, transform.location.z)
         )
+        self.bounding_box = BoundingBox(extent=Vector3D(0.34, 0.34, 0.93))
         self.control = None
         self.alive = True
 
@@ -538,6 +558,28 @@ class _World:
     def get_actors(self):
         return self.actors
 
+    def get_level_bbs(self, label):
+        """World-space bounding boxes of all level objects of one semantic
+        class (carla.World.get_level_bbs; the reference birdview feeds on
+        Vehicles/Pedestrians, chauffeurnet.py:139-140). Derived from the live
+        actors: center at the actor's transform composed with the local bbox
+        offset, the actor's rotation, the actor's half-extents."""
+        kind = _Vehicle if label == CityObjectLabel.Vehicles else _Walker
+        out = []
+        for a in self.actors:
+            if not (isinstance(a, kind) and a.is_alive):
+                continue
+            tf = a.get_transform()
+            bb = a.bounding_box
+            out.append(
+                BoundingBox(
+                    location=tf.transform(bb.location),
+                    extent=Vector3D(bb.extent),
+                    rotation=Rotation(yaw=tf.rotation.yaw),
+                )
+            )
+        return out
+
     def get_weather(self):
         return self.weather
 
@@ -600,6 +642,9 @@ class _SidewalkWaypoint(Waypoint):
 
 
 class _Map:
+    name = "Town01"  # carla.Map.name; the reference birdview resolves
+    # its cached global-mask h5 as maps/<name>.h5 (chauffeurnet.py:81)
+
     def get_spawn_points(self):
         return [
             Transform(Location(x=float(i * 10), y=0.0), Rotation(yaw=0.0))
