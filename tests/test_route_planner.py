@@ -202,3 +202,61 @@ def test_env_uses_first_party_planner(mock, monkeypatch):
         obs, reward, done, info = env.step({0: np.array([0.8, 0.0, 0.0])})
     assert env.completed_m > 0.5  # route-based distance accounting
     assert np.isfinite(reward)
+
+
+def test_downsample_and_gps_route_parity_vs_reference(mock, monkeypatch, rng):
+    """EXECUTE the reference's downsample_route + location_route_to_gps
+    (route_manipulation.py:75-165) over randomized routes with mixed
+    commands and reconcile our sim.route_planner versions: identical kept
+    indices (lane-change keeps, command-transition keeps, distance
+    accumulation, tail keep) and matching GPS plans."""
+    import os
+
+    if not os.path.isdir(f"{REF}/carla_gym"):
+        pytest.skip("reference not mounted")
+    monkeypatch.syspath_prepend(REF)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from types import SimpleNamespace
+
+    import mock_carla
+    from carla_gym.core.task_actor.common.navigation import (
+        route_manipulation as ref_rm,
+    )
+    from carla_gym.core.task_actor.common.navigation.map_utils import (
+        RoadOption as RefOption,
+    )
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import (
+        RoadOption,
+        downsample_route,
+        location_route_to_gps,
+    )
+
+    for trial in range(8):
+        n = int(rng.integers(5, 120))
+        x, y = 0.0, 0.0
+        ref_route, our_route = [], []
+        opt_pool = [4, 4, 4, 4, 1, 2, 3, 5, 6]  # mostly LANEFOLLOW
+        for i in range(n):
+            x += float(rng.uniform(0.5, 4.0))
+            y += float(rng.uniform(-1.0, 1.0))
+            v = int(opt_pool[int(rng.integers(0, len(opt_pool)))])
+            wp = SimpleNamespace(
+                transform=mock_carla.Transform(mock_carla.Location(x, y))
+            )
+            ref_route.append((wp, RefOption(v)))
+            our_route.append((wp, RoadOption(v)))
+
+        for factor in (5.0, 50.0):
+            ref_ids = ref_rm.downsample_route(ref_route, factor)
+            our_ids = downsample_route(our_route, factor)
+            assert ref_ids == our_ids, (trial, factor)
+
+        ref_gps = ref_rm.location_route_to_gps(ref_route)
+        our_gps = location_route_to_gps(our_route)
+        assert len(ref_gps) == len(our_gps)
+        for (rg, ro), (og, oo) in zip(ref_gps, our_gps):
+            assert np.allclose(rg, og, atol=1e-9), trial
+            assert ro.value == oo.value, trial
