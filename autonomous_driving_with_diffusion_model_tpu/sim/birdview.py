@@ -70,6 +70,9 @@ class BirdviewRenderer:
         self._scale_bbox = scale_bbox
         self._scale_mask_col = scale_mask_col
         self._history: deque = deque(maxlen=20)
+        # record-time actor gate, one canvas width in meters
+        # (reference chauffeurnet.py:102)
+        self.distance_threshold = float(np.ceil(width_in_pixels / pixels_per_meter))
 
     @classmethod
     def from_h5(cls, path: str, **kwargs) -> "BirdviewRenderer":

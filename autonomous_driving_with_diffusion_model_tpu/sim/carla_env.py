@@ -155,7 +155,12 @@ class CarlaDrivingEnv:
         if birdview_h5 is not None:
             from .birdview import BirdviewRenderer
 
-            self._birdview = BirdviewRenderer.from_h5(birdview_h5)
+            # scale_mask_col=1.0: the deployed collection config
+            # (reference configs/agent/obs_configs/birdview.yaml) overrides
+            # the chauffeurnet code default 1.1
+            self._birdview = BirdviewRenderer.from_h5(
+                birdview_h5, scale_mask_col=1.0
+            )
         self._actors = []
         self._sensors: Dict[str, _SensorQueue] = {}
         self.ego = None
@@ -570,16 +575,30 @@ class CarlaDrivingEnv:
         self.last_obs = obs  # sensor queues are consumed once per tick;
         return obs           # obs-handler modules read this cached frame
 
-    def _actor_tuples(self, pattern: str):
-        """[(center_xy, yaw_deg, extent_xy)] for the birdview renderer."""
+    def _birdview_level_boxes(self, label):
+        """[(center_xy, yaw_deg, extent_xy)] of the level bounding boxes the
+        reference birdview records (chauffeurnet.py:127-152): world-space
+        ``get_level_bbs`` (includes parked scenery actors, centers composed
+        with the bbox offset), gated at record time by the per-axis canvas
+        threshold, the 8 m height window, and the 1 m ego-proximity exclusion
+        (level boxes carry no actor ids)."""
+        ev = self.ego.get_transform().location
+        thresh = self._birdview.distance_threshold
         out = []
-        for actor in self.world.get_actors().filter(pattern):
-            if self.ego is not None and actor.id == self.ego.id:
+        for bb in self.world.get_level_bbs(label):
+            dx = abs(ev.x - bb.location.x)
+            dy = abs(ev.y - bb.location.y)
+            if not (dx < thresh and dy < thresh and abs(ev.z - bb.location.z) < 8.0):
                 continue
-            tf = actor.get_transform()
-            bb = getattr(actor, "bounding_box", None)
-            ext = (bb.extent.x, bb.extent.y) if bb is not None else (0.5, 0.5)
-            out.append(((tf.location.x, tf.location.y), tf.rotation.yaw, ext))
+            if dx < 1.0 and dy < 1.0:
+                continue  # the ego's own level box
+            out.append(
+                (
+                    (bb.location.x, bb.location.y),
+                    bb.rotation.yaw,
+                    (bb.extent.x, bb.extent.y),
+                )
+            )
         return out
 
     def _birdview_stops(self):
@@ -593,11 +612,9 @@ class CarlaDrivingEnv:
         sign = self.stop_registry.get(target_id)
         if sign is None:
             return []
-        trans = sign.get_transform()
-        tv = sign.trigger_volume
-        center = trans.transform(tv.location)
-        m = max(float(tv.extent.x), float(tv.extent.y))
-        return [((center.x, center.y), trans.rotation.yaw, (m, m))]
+        center, (ex, ey) = self.stop_registry._trigger_center_extent(sign)
+        m = max(float(ex), float(ey))
+        return [(tuple(center), sign.get_transform().rotation.yaw, (m, m))]
 
     def _birdview_obs(self):
         """Chauffeurnet masks around the ego (reference chauffeurnet.py
@@ -613,8 +630,12 @@ class CarlaDrivingEnv:
             ev_loc_xy=pos,
             ev_yaw_deg=tf.rotation.yaw,
             ev_extent_xy=(bb.x, bb.y),
-            vehicles=self._actor_tuples("vehicle.*"),
-            walkers=self._actor_tuples("walker.pedestrian.*"),
+            vehicles=self._birdview_level_boxes(
+                self._carla.CityObjectLabel.Vehicles
+            ),
+            walkers=self._birdview_level_boxes(
+                self._carla.CityObjectLabel.Pedestrians
+            ),
             tl_green=self.tl_registry.get_stopline_vtx(pos, 0),
             tl_yellow=self.tl_registry.get_stopline_vtx(pos, 1),
             tl_red=self.tl_registry.get_stopline_vtx(pos, 2),
