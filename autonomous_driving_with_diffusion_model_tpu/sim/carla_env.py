@@ -408,6 +408,11 @@ class CarlaDrivingEnv:
             self._final_target = targets[-1]
         else:
             self._new_route()
+        if self.tracker is not None:
+            # the reward/terminal lateral anchor starts at the spawn point
+            # (task_vehicle.py:73)
+            spawn_loc = self.ego.get_location()
+            self.tracker.last_route_location = (spawn_loc.x, spawn_loc.y)
 
         self.expert = LocalPlanner(target_speed=self.target_speed)
         # registries built once per episode (reference: TrafficLightHandler.reset
@@ -736,8 +741,14 @@ class CarlaDrivingEnv:
 
         cur, nxt = self._route_progress()
         wp_xy = np.asarray(cur[0])
+        dev_xy = wp_xy
+        if self.tracker is not None and self.tracker.route:
+            # the deviation criterion anchors on the tracker's route HEAD
+            # (task_vehicle.py:215-218), not the obs cursor
+            h = self.tracker.route[0][0].transform.location
+            dev_xy = np.asarray([h.x, h.y])
         info_dev = self.route_dev.tick(
-            ev_loc, wp_xy, dist_step, self._route_length_m(), self.sim_time, self.steps
+            ev_loc, dev_xy, dist_step, self._route_length_m(), self.sim_time, self.steps
         )
         if info_dev is not None:
             self.counters.route_dev += 1
@@ -823,13 +834,20 @@ class CarlaDrivingEnv:
             if info_out["wrong_lane"]:
                 self.counters.wrong_lane_m += dist_step
 
-        # route waypoint heading from the polyline (route carries no yaw)
-        wp_delta = np.asarray(nxt[0], np.float64) - wp_xy
-        wp_yaw = (
-            float(np.degrees(np.arctan2(wp_delta[1], wp_delta[0])))
-            if np.linalg.norm(wp_delta) > 1e-6
-            else tf.rotation.yaw
-        )
+        if self.tracker is not None and self.tracker.route:
+            # reward/terminal lateral anchor: the reference's
+            # get_route_transform — last passed route location, heading
+            # toward the head (task_vehicle.py:373-383)
+            (rt_x, rt_y), wp_yaw = self.tracker.route_transform()
+            wp_xy = np.asarray([rt_x, rt_y])
+        else:
+            # route waypoint heading from the polyline (route carries no yaw)
+            wp_delta = np.asarray(nxt[0], np.float64) - wp_xy
+            wp_yaw = (
+                float(np.degrees(np.arctan2(wp_delta[1], wp_delta[0])))
+                if np.linalg.norm(wp_delta) > 1e-6
+                else tf.rotation.yaw
+            )
         done, timeout, terminal_reward, _ = self.terminal.get(
             self.sim_time, ev_loc, speed, wp_xy, wp_yaw, np.asarray(nxt[0]),
             info_blocked, info_red, info_col, info_stop,

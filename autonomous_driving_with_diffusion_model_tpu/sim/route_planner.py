@@ -515,6 +515,8 @@ class RouteTracker:
         default_factory=list
     )
     plan_world: List[Tuple[object, RoadOption]] = field(default_factory=list)
+    last_route_location: Optional[Tuple[float, float]] = None  # (x, y); init to
+    # the spawn location (task_vehicle.py:73), advanced by truncate()
     _saturated_at: Optional[float] = None  # route_length when extension last failed
 
     @staticmethod
@@ -605,8 +607,28 @@ class RouteTracker:
                 closest_idx = i
         traveled = self._segment_length(self.route[: closest_idx + 1])
         self.route_completed += traveled
+        if closest_idx > 0:
+            # the reference records the PREVIOUS head, not the last popped
+            # point (task_vehicle.py:182-183, executed verbatim)
+            h = self.route[0][0].transform.location
+            self.last_route_location = (float(h.x), float(h.y))
         self.route = self.route[closest_idx:]
         return traveled
+
+    def route_transform(self) -> Tuple[Tuple[float, float], float]:
+        """((x, y), yaw_deg) of the reward/terminal lateral anchor: the last
+        passed route location, heading toward the current route head — the
+        reference's get_route_transform (task_vehicle.py:373-383). Falls back
+        to the head's own yaw when the two nearly coincide."""
+        head = self.route[0][0].transform.location
+        loc0 = self.last_route_location
+        if loc0 is None:
+            loc0 = (float(head.x), float(head.y))
+        if np.hypot(head.x - loc0[0], head.y - loc0[1]) < 0.1:
+            yaw = float(self.route[0][0].transform.rotation.yaw)
+        else:
+            yaw = float(np.degrees(np.arctan2(head.y - loc0[1], head.x - loc0[0])))
+        return (float(loc0[0]), float(loc0[1])), yaw
 
     def is_completed(
         self, ev_location, final_target_location, percentage_threshold: float = 0.99,

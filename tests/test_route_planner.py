@@ -260,3 +260,115 @@ def test_downsample_and_gps_route_parity_vs_reference(mock, monkeypatch, rng):
         for (rg, ro), (og, oo) in zip(ref_gps, our_gps):
             assert np.allclose(rg, og, atol=1e-9), trial
             assert ro.value == oo.value, trial
+
+
+def test_route_tracking_parity_vs_reference_task_vehicle(mock, monkeypatch, rng):
+    """EXECUTE the reference TaskVehicle's production route tracking
+    (task_vehicle.py:115-196, 373-383: _compute_route_length, the
+    cumulative-distance truncation with its farthest-in-range pop,
+    _is_route_completed, and get_route_transform's last-passed-location
+    anchor) over a scripted noisy drive along a curvy route, and reconcile
+    our RouteTracker tick by tick: meters traveled, completion accumulator,
+    remaining route, the completion test, and the reward/terminal anchor
+    transform."""
+    import os
+
+    if not os.path.isdir(f"{REF}/carla_gym"):
+        pytest.skip("reference not mounted")
+    monkeypatch.syspath_prepend(REF)
+    for name in list(sys.modules):
+        if name.startswith("carla_gym"):
+            monkeypatch.delitem(sys.modules, name, raising=False)
+    from types import SimpleNamespace
+
+    import mock_carla
+
+    # task_vehicle imports the criteria package, which pulls shapely (absent
+    # from this image); geometry is never exercised here — stub the import
+    import types as _types
+
+    shp = _types.ModuleType("shapely")
+    shp_geom = _types.ModuleType("shapely.geometry")
+    shp_geom.LineString = object
+    shp.geometry = shp_geom
+    monkeypatch.setitem(sys.modules, "shapely", shp)
+    monkeypatch.setitem(sys.modules, "shapely.geometry", shp_geom)
+    from carla_gym.core.task_actor.common.task_vehicle import TaskVehicle
+
+    from autonomous_driving_with_diffusion_model_tpu.sim.route_planner import (
+        RoadOption,
+        RouteTracker,
+    )
+
+    # curvy route, ~1 m spacing
+    n = 140
+    t_par = np.linspace(0, 1, n)
+    xs = 10.0 + 130.0 * t_par
+    ys = 5.0 * np.sin(t_par * 6.0) + 2.0 * t_par
+    route = [
+        (
+            SimpleNamespace(
+                transform=mock_carla.Transform(
+                    mock_carla.Location(float(x), float(y)),
+                    mock_carla.Rotation(yaw=float(rng.uniform(-10, 10))),
+                )
+            ),
+            RoadOption.LANEFOLLOW,
+        )
+        for x, y in zip(xs, ys)
+    ]
+    spawn = (float(xs[0]), float(ys[0]))
+    final = mock_carla.Location(float(xs[-1]), float(ys[-1]))
+
+    ego_pos = {"xy": np.array(spawn)}
+    vehicle = SimpleNamespace(
+        get_location=lambda: mock_carla.Location(*ego_pos["xy"])
+    )
+    tv = TaskVehicle.__new__(TaskVehicle)
+    tv.vehicle = vehicle
+    tv._global_route = list(route)
+    tv._route_completed = 0.0
+    tv._route_length = TaskVehicle._compute_route_length(route)
+    tv._last_route_location = mock_carla.Location(*spawn)
+    tv._target_transforms = [SimpleNamespace(location=final)]
+
+    ours = RouteTracker(
+        planner=None,
+        carla_map=None,
+        route=list(route),
+        route_length=RouteTracker._segment_length(route),
+        last_route_location=spawn,
+    )
+    assert ours.route_length == pytest.approx(tv._route_length)
+
+    completed_seen = False
+    for step in range(90):
+        # noisy drive roughly along the route at a varying pace
+        frac = min(1.0, step / 70.0)
+        idx = min(n - 1, int(frac * (n - 1)))
+        ego_pos["xy"] = np.array(
+            [
+                xs[idx] + float(rng.uniform(-1.0, 1.0)),
+                ys[idx] + float(rng.uniform(-1.0, 1.0)),
+            ]
+        )
+        d_ref = tv._truncate_global_route_till_cumulative_distance()
+        d_our = ours.truncate(tuple(ego_pos["xy"]))
+        assert d_our == pytest.approx(float(d_ref), abs=1e-9), step
+        assert ours.route_completed == pytest.approx(tv._route_completed), step
+        assert len(ours.route) == len(tv._global_route), step
+        assert ours.route[0][0] is tv._global_route[0][0], step
+
+        ref_tf = tv.get_route_transform()
+        (ox, oy), oyaw = ours.route_transform()
+        assert ox == pytest.approx(ref_tf.location.x), step
+        assert oy == pytest.approx(ref_tf.location.y), step
+        assert oyaw == pytest.approx(float(ref_tf.rotation.yaw), abs=1e-9), step
+
+        ref_done = tv._is_route_completed()
+        our_done = ours.is_completed(vehicle.get_location(), final)
+        assert ref_done == our_done, step
+        completed_seen |= ref_done
+
+    assert completed_seen  # the drive actually finished the route
+    assert ours.route_completed > 0.9 * ours.route_length
