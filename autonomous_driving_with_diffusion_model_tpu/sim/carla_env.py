@@ -409,10 +409,13 @@ class CarlaDrivingEnv:
         else:
             self._new_route()
         if self.tracker is not None:
-            # the reward/terminal lateral anchor starts at the spawn point
-            # (task_vehicle.py:73)
+            # the reward/terminal lateral anchor starts at the spawn point,
+            # z-lift included (task_vehicle.py:73)
             spawn_loc = self.ego.get_location()
-            self.tracker.last_route_location = (spawn_loc.x, spawn_loc.y)
+            self.tracker.last_route_location = (
+                spawn_loc.x, spawn_loc.y, spawn_loc.z,
+            )
+        self._last_truncate_frame = None
 
         self.expert = LocalPlanner(target_speed=self.target_speed)
         # registries built once per episode (reference: TrafficLightHandler.reset
@@ -494,9 +497,16 @@ class CarlaDrivingEnv:
         pos = self.ego.get_location()
         pos_xy = np.array([pos.x, pos.y])
         if self.tracker is not None:
-            # cumulative-distance truncation (task_vehicle.py:149-185);
-            # traveled accumulates until step() consumes it for the criteria
-            self._step_traveled += self.tracker.truncate(pos_xy)
+            # cumulative-distance truncation (task_vehicle.py:149-185), ONCE
+            # per world tick like the reference's task_vehicle.tick — both
+            # _observe and step call _route_progress within one frame, and a
+            # second same-position truncate could pop one extra waypoint on
+            # self-overlapping geometry; traveled accumulates until step()
+            # consumes it for the criteria
+            frame = self.world.get_snapshot().frame
+            if frame != self._last_truncate_frame:
+                self._last_truncate_frame = frame
+                self._step_traveled += self.tracker.truncate(pos_xy)
             remaining = self.tracker.route_length - self.tracker.route_completed
             if remaining < 100.0 and self._endless:  # extend before running dry
                 self._new_route()
@@ -740,15 +750,12 @@ class CarlaDrivingEnv:
             self.counters.vehicle_blocked += 1
 
         cur, nxt = self._route_progress()
+        # deviation anchors on the route head (task_vehicle.py:215-218); on
+        # the tracker path cur[0] IS the head (_route_progress resets the
+        # cursor to the freshly-truncated route every tick)
         wp_xy = np.asarray(cur[0])
-        dev_xy = wp_xy
-        if self.tracker is not None and self.tracker.route:
-            # the deviation criterion anchors on the tracker's route HEAD
-            # (task_vehicle.py:215-218), not the obs cursor
-            h = self.tracker.route[0][0].transform.location
-            dev_xy = np.asarray([h.x, h.y])
         info_dev = self.route_dev.tick(
-            ev_loc, dev_xy, dist_step, self._route_length_m(), self.sim_time, self.steps
+            ev_loc, wp_xy, dist_step, self._route_length_m(), self.sim_time, self.steps
         )
         if info_dev is not None:
             self.counters.route_dev += 1

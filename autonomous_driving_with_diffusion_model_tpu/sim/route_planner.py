@@ -515,8 +515,9 @@ class RouteTracker:
         default_factory=list
     )
     plan_world: List[Tuple[object, RoadOption]] = field(default_factory=list)
-    last_route_location: Optional[Tuple[float, float]] = None  # (x, y); init to
-    # the spawn location (task_vehicle.py:73), advanced by truncate()
+    last_route_location: Optional[Tuple[float, ...]] = None  # (x, y[, z]);
+    # init to the spawn location WITH its z-lift (task_vehicle.py:73),
+    # advanced by truncate()
     _saturated_at: Optional[float] = None  # route_length when extension last failed
 
     @staticmethod
@@ -611,7 +612,7 @@ class RouteTracker:
             # the reference records the PREVIOUS head, not the last popped
             # point (task_vehicle.py:182-183, executed verbatim)
             h = self.route[0][0].transform.location
-            self.last_route_location = (float(h.x), float(h.y))
+            self.last_route_location = (float(h.x), float(h.y), float(h.z))
         self.route = self.route[closest_idx:]
         return traveled
 
@@ -619,12 +620,18 @@ class RouteTracker:
         """((x, y), yaw_deg) of the reward/terminal lateral anchor: the last
         passed route location, heading toward the current route head — the
         reference's get_route_transform (task_vehicle.py:373-383). Falls back
-        to the head's own yaw when the two nearly coincide."""
+        to the head's own yaw when the two nearly coincide; the coincidence
+        test is 3D like the reference's Location.distance, so a z-lifted
+        spawn anchor keeps the arctan2 branch even at the spawn xy."""
         head = self.route[0][0].transform.location
         loc0 = self.last_route_location
         if loc0 is None:
-            loc0 = (float(head.x), float(head.y))
-        if np.hypot(head.x - loc0[0], head.y - loc0[1]) < 0.1:
+            loc0 = (float(head.x), float(head.y), float(head.z))
+        z0 = loc0[2] if len(loc0) > 2 else 0.0
+        d3 = np.sqrt(
+            (head.x - loc0[0]) ** 2 + (head.y - loc0[1]) ** 2 + (head.z - z0) ** 2
+        )
+        if d3 < 0.1:
             yaw = float(self.route[0][0].transform.rotation.yaw)
         else:
             yaw = float(np.degrees(np.arctan2(head.y - loc0[1], head.x - loc0[0])))

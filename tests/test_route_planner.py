@@ -372,3 +372,36 @@ def test_route_tracking_parity_vs_reference_task_vehicle(mock, monkeypatch, rng)
 
     assert completed_seen  # the drive actually finished the route
     assert ours.route_completed > 0.9 * ours.route_length
+
+    # --- get_route_transform branch coverage the drive can't reach --------
+    def _pair(anchor_xyz, head_xy, head_yaw):
+        wp = SimpleNamespace(
+            transform=mock_carla.Transform(
+                mock_carla.Location(head_xy[0], head_xy[1]),
+                mock_carla.Rotation(yaw=head_yaw),
+            )
+        )
+        tv2 = TaskVehicle.__new__(TaskVehicle)
+        tv2._global_route = [(wp, RoadOption.LANEFOLLOW)]
+        tv2._last_route_location = mock_carla.Location(*anchor_xyz)
+        ours2 = RouteTracker(
+            planner=None, carla_map=None,
+            route=[(wp, RoadOption.LANEFOLLOW)],
+            last_route_location=anchor_xyz,
+        )
+        return tv2, ours2
+
+    # z-lifted spawn anchor at (almost) the head's xy: the reference's 3D
+    # distance keeps the arctan2 branch and yields the erratic near-zero-xy
+    # yaw — we must reproduce it, not fall back to the head's own yaw
+    tv2, ours2 = _pair((50.0, 8.0, 0.45), (50.01, 8.02), head_yaw=37.0)
+    ref_tf = tv2.get_route_transform()
+    (ox, oy), oyaw = ours2.route_transform()
+    assert (ox, oy) == (pytest.approx(ref_tf.location.x), pytest.approx(ref_tf.location.y))
+    assert oyaw == pytest.approx(float(ref_tf.rotation.yaw), abs=1e-9)
+    assert oyaw != pytest.approx(37.0)  # really the arctan2 branch
+
+    # true 3D coincidence: both take the head's own yaw
+    tv3, ours3 = _pair((50.0, 8.0, 0.0), (50.0, 8.0), head_yaw=37.0)
+    assert float(tv3.get_route_transform().rotation.yaw) == 37.0
+    assert ours3.route_transform()[1] == 37.0
